@@ -1,0 +1,225 @@
+"""On-device neighbor search primitives (static shapes, jit-safe).
+
+TPU-native replacements for the reference's irregular neighbor machinery:
+
+* ``cpp_wrappers/cpp_neighbors`` KD-tree radius search (distance-sorted,
+  shadow index = N; ``neighbors.cpp:211-332``)  ->  :func:`radius_knn`
+  (chunked MXU distance matrix + running top-k merge).
+* ``knn_cuda`` exact 1-NN (``models/BUFFER.py:347-374``)  ->  :func:`nearest`.
+* ``pointnet2_ops.ball_query`` "first-k points within radius of a shuffled
+  cloud" (= a uniform random k-subset of the ball;
+  ``models/patch_embedder.py:100``, ``utils/common.py:442``)  ->
+  :func:`ball_sample` (random priorities + top-k).
+
+All functions take a validity mask for padded support points and return
+index arrays plus boolean masks instead of ragged lists.  Distances are
+computed as ``|q|^2 - 2 q.s + |s|^2`` so the inner product rides the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BIG = 1e9
+
+
+def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distances [..., M, N] between a [..., M, D] and
+    b [..., N, D]; the cross term is a matmul (MXU)."""
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    cross = a @ jnp.swapaxes(b, -1, -2)
+    d2 = a2 - 2.0 * cross + jnp.swapaxes(b2, -1, -2)
+    return jnp.maximum(d2, 0.0)
+
+
+def _pad_rows(x: jnp.ndarray, multiple: int, fill) -> jnp.ndarray:
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    padding = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, padding, constant_values=fill)
+
+
+def radius_knn(
+    query: jnp.ndarray,
+    support: jnp.ndarray,
+    support_valid: jnp.ndarray,
+    k: int,
+    radius: Optional[float] = None,
+    chunk: int = 4096,
+    query_chunk: int = 4096,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact k-nearest (optionally radius-limited) neighbors.
+
+    query: [Q, 3]; support: [S, 3]; support_valid: [S] bool.
+    Returns (sqdist [Q, k], idx [Q, k] int32, valid [Q, k] bool), sorted by
+    ascending distance.  ``valid`` is False for slots beyond the in-radius
+    count — the shadow-neighbor analog of the reference's ``index == S``
+    (models/point_learner.py:328-339).
+
+    Implementation: scan over support chunks keeping a running best-k via
+    ``lax.top_k`` on the negated distances; queries processed in chunks to
+    bound the [Qc, k + chunk] working set.
+    """
+    Q = query.shape[0]
+    support = _pad_rows(support, chunk, 0.0)
+    support_valid = _pad_rows(support_valid, chunk, False)
+    S = support.shape[0]
+    n_chunks = S // chunk
+    r2 = None if radius is None else float(radius) ** 2
+
+    def one_query_chunk(qc: jnp.ndarray):
+        Qc = qc.shape[0]
+        init_d = jnp.full((Qc, k), BIG, dtype=query.dtype)
+        init_i = jnp.zeros((Qc, k), dtype=jnp.int32)
+
+        def body(carry, ci):
+            best_d, best_i = carry
+            sl = lax.dynamic_slice_in_dim(support, ci * chunk, chunk, axis=0)
+            vl = lax.dynamic_slice_in_dim(support_valid, ci * chunk, chunk, axis=0)
+            d2 = pairwise_sqdist(qc, sl)
+            bad = ~vl[None, :]
+            if r2 is not None:
+                bad = bad | (d2 > r2)
+            d2 = jnp.where(bad, BIG, d2)
+            idx = ci * chunk + lax.broadcasted_iota(jnp.int32, (Qc, chunk), 1)
+            cand_d = jnp.concatenate([best_d, d2], axis=1)
+            cand_i = jnp.concatenate([best_i, idx], axis=1)
+            neg_top, pos = lax.top_k(-cand_d, k)
+            new_d = -neg_top
+            new_i = jnp.take_along_axis(cand_i, pos, axis=1)
+            return (new_d, new_i), None
+
+        (best_d, best_i), _ = lax.scan(body, (init_d, init_i), jnp.arange(n_chunks))
+        return best_d, best_i, best_d < BIG
+
+    if Q <= query_chunk:
+        return one_query_chunk(query)
+
+    qpad = _pad_rows(query, query_chunk, 0.0)
+    blocks = qpad.reshape(-1, query_chunk, 3)
+    d, i, v = lax.map(one_query_chunk, blocks)
+    flat = lambda x: x.reshape(-1, k)[:Q]
+    return flat(d), flat(i), flat(v)
+
+
+def nearest(
+    query: jnp.ndarray,
+    support: jnp.ndarray,
+    support_valid: jnp.ndarray,
+    chunk: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact 1-NN: (sqdist [Q], idx [Q] int32).  Replaces KNN_CUDA(k=1)
+    (models/BUFFER.py:335-359) and nanoflann nearest lookups."""
+    support = _pad_rows(support, chunk, 0.0)
+    support_valid = _pad_rows(support_valid, chunk, False)
+    S = support.shape[0]
+    n_chunks = S // chunk
+    Q = query.shape[0]
+
+    init = (jnp.full((Q,), BIG, dtype=query.dtype), jnp.zeros((Q,), jnp.int32))
+
+    def body(carry, ci):
+        best_d, best_i = carry
+        sl = lax.dynamic_slice_in_dim(support, ci * chunk, chunk, axis=0)
+        vl = lax.dynamic_slice_in_dim(support_valid, ci * chunk, chunk, axis=0)
+        d2 = pairwise_sqdist(query, sl)
+        d2 = jnp.where(vl[None, :], d2, BIG)
+        loc = jnp.argmin(d2, axis=1)
+        dmin = jnp.take_along_axis(d2, loc[:, None], axis=1)[:, 0]
+        better = dmin < best_d
+        return (jnp.where(better, dmin, best_d),
+                jnp.where(better, (ci * chunk + loc).astype(jnp.int32), best_i)), None
+
+    (best_d, best_i), _ = lax.scan(body, init, jnp.arange(n_chunks))
+    return best_d, best_i
+
+
+def ball_sample(
+    key: jax.Array,
+    query: jnp.ndarray,
+    support: jnp.ndarray,
+    support_valid: jnp.ndarray,
+    radius: float,
+    k: int,
+    recall_target: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform random k-subset of the radius ball around each query.
+
+    Reproduces the *distribution* of pointnet2's ``ball_query`` on a
+    shuffled cloud ("first k found in index order" over randomly ordered
+    points = uniform random subset; the reference shuffles immediately
+    before querying, models/patch_embedder.py:97).
+
+    Returns (idx [Q, k] int32, valid [Q, k] bool).  Uses
+    ``lax.approx_max_k`` over random priorities — a TPU-accelerated
+    hardware top-k; approximation only perturbs *which* random subset is
+    selected, which is statistically immaterial.
+    """
+    S = support.shape[0]
+    d2 = pairwise_sqdist(query, support)
+    in_ball = (d2 <= radius * radius) & support_valid[None, :]
+    prio = jax.random.uniform(key, (S,), dtype=jnp.float32)
+    score = jnp.where(in_ball, prio[None, :], -BIG)
+    vals, idx = lax.approx_max_k(score, k, recall_target=recall_target)
+    return idx.astype(jnp.int32), vals > -BIG / 2
+
+
+def ball_sample_chunked(
+    key: jax.Array,
+    query: jnp.ndarray,
+    support: jnp.ndarray,
+    support_valid: jnp.ndarray,
+    radius: float,
+    k: int,
+    chunk: int = 16384,
+    recall_target: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Memory-bounded :func:`ball_sample` for large support clouds.
+
+    Scans support chunks keeping the running top-k priorities.  Valid
+    candidates always carry priority in (0, 1] and invalid -BIG, so merging
+    by priority preserves the uniform-subset semantics.
+    """
+    Q = query.shape[0]
+    support = _pad_rows(support, chunk, 0.0)
+    support_valid = _pad_rows(support_valid, chunk, False)
+    S = support.shape[0]
+    n_chunks = S // chunk
+    r2 = radius * radius
+
+    init = (jnp.full((Q, k), -BIG, dtype=jnp.float32),
+            jnp.zeros((Q, k), dtype=jnp.int32))
+    keys = jax.random.split(key, n_chunks)
+
+    def body(carry, inp):
+        ci, kc = inp
+        best_p, best_i = carry
+        sl = lax.dynamic_slice_in_dim(support, ci * chunk, chunk, axis=0)
+        vl = lax.dynamic_slice_in_dim(support_valid, ci * chunk, chunk, axis=0)
+        d2 = pairwise_sqdist(query, sl)
+        ok = (d2 <= r2) & vl[None, :]
+        prio = jax.random.uniform(kc, (chunk,), dtype=jnp.float32)
+        score = jnp.where(ok, prio[None, :], -BIG)
+        idx = ci * chunk + lax.broadcasted_iota(jnp.int32, (Q, chunk), 1)
+        cand_p = jnp.concatenate([best_p, score], axis=1)
+        cand_i = jnp.concatenate([best_i, idx], axis=1)
+        top_p, pos = lax.top_k(cand_p, k)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (top_p, top_i), None
+
+    (best_p, best_i), _ = lax.scan(body, init, (jnp.arange(n_chunks), keys))
+    return best_i, best_p > -BIG / 2
+
+
+def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """points [N, D] gathered by idx [...]-shaped int array -> [..., D].
+    Replaces pointnet2 ``gather_operation``/``grouping_operation``."""
+    return jnp.take(points, idx, axis=0)

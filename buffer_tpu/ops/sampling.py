@@ -1,0 +1,53 @@
+"""Farthest point sampling, jit-native.
+
+Replaces ``pointnet2_ops.furthest_point_sample`` (CUDA; used at
+``models/BUFFER.py:266-267`` to pick 1500 keypoints from the
+detection-thresholded cloud).  The reference first boolean-filters points by
+detector score (``models/BUFFER.py:256-259``) — a dynamic shape — so here the
+threshold is folded into the FPS *eligibility mask* instead: ineligible
+points can never be selected (their min-distance is pinned below zero),
+which yields the same selected set with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def farthest_point_sample(
+    points: jnp.ndarray,
+    eligible: jnp.ndarray,
+    num_samples: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FPS over the eligible subset.
+
+    points: [N, 3]; eligible: [N] bool; returns (idx [num_samples] int32,
+    valid [num_samples] bool).  Starts from the first eligible point (the
+    CUDA kernel starts from index 0 of its filtered array).  If fewer than
+    ``num_samples`` points are eligible, the remaining slots repeat
+    already-selected points and are marked invalid.
+    """
+    N = points.shape[0]
+    n_eligible = jnp.sum(eligible.astype(jnp.int32))
+    first = jnp.argmax(eligible).astype(jnp.int32)
+
+    # min squared distance to the selected set; ineligible points sit at -1
+    # so argmax never picks them while any eligible point has dist >= 0.
+    init_mind = jnp.where(eligible, jnp.asarray(1e10, points.dtype), -1.0)
+
+    def body(i, carry):
+        mind, idxs = carry
+        last = idxs[i - 1]
+        d = jnp.sum((points - points[last]) ** 2, axis=-1)
+        mind = jnp.minimum(mind, jnp.where(eligible, d, -1.0))
+        nxt = jnp.argmax(mind).astype(jnp.int32)
+        return mind, idxs.at[i].set(nxt)
+
+    idxs0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(first)
+    _, idxs = lax.fori_loop(1, num_samples, body, (init_mind, idxs0))
+    valid = jnp.arange(num_samples) < n_eligible
+    return idxs, valid
