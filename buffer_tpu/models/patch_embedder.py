@@ -1,0 +1,177 @@
+"""MiniSpinNet patch embedder — cylindrical equivariant descriptors.
+
+TPU-native reimplementation of ``models/patch_embedder.py`` (reference):
+
+1. patch extraction: random 512-subset of the des_r-ball around each
+   keypoint, center forced into the last slot (reference ``select_patches``
+   :93-121 — pointnet2 ball_query over a shuffled cloud + filler masking);
+2. axis alignment: Rodrigues rotation taking the learned z-axis to +z for
+   3DMatch-family data, identity for KITTI/ETH (:123-149), plus the
+   ``rand_axis`` used for SO(2) ground-truth labeling;
+3. normalization by des_r and optional SO(2) augmentation (:58-68);
+4. SPT: for each of rad_n*ele_n*azi_n cylindrical anchors, sample up to
+   ``voxel_sample`` patch points within radius delta/rad_n and derotate
+   each azimuth bin into the invariant frame (:151-166,
+   utils/common.py:431-498);
+5. point MLP (3->16) + max-pool over samples, then the cylindrical CNN,
+   attention pooling to a 32-D L2-normalized descriptor and the
+   channel-normalized equivariant map (:74-91).
+
+Deviation (documented): the reference's ``sphere_query`` zeroes an anchor's
+first sample slot whenever that slot holds patch-point index 0
+(utils/common.py:447-449) — a workaround for pointnet2's all-zeros
+"no neighbor" convention that also erases genuine index-0 neighbors.  We
+carry explicit validity masks instead, so no genuine samples are lost.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import lax
+
+from buffer_tpu.core import se3, gridmath
+from buffer_tpu.nn.vn import MaskedBatchNorm
+from buffer_tpu.nn.cylindrical import CylindricalNet
+from buffer_tpu.ops import neighbors as nbr_ops
+
+
+def extract_patches(
+    key: jax.Array,
+    pts: jnp.ndarray,            # [N, 3] raw (first-downsample) cloud
+    pts_valid: jnp.ndarray,      # [N] bool
+    kpts: jnp.ndarray,           # [K, 3]
+    des_r: float,
+    patch_sample: int,
+) -> jnp.ndarray:
+    """Random ``patch_sample``-subset of each keypoint ball; filler slots and
+    the final slot carry the keypoint itself (select_patches semantics).
+    Returns [K, patch_sample, 3]."""
+    idx, valid = nbr_ops.ball_sample(key, kpts, pts, pts_valid, des_r,
+                                     patch_sample)
+    gathered = jnp.take(pts, idx, axis=0)                       # [K,S,3]
+    patches = jnp.where(valid[..., None], gathered, kpts[:, None, :])
+    patches = patches.at[:, -1, :].set(kpts)                    # center at -1
+    return patches
+
+
+def axis_align(patches: jnp.ndarray, dataset: str,
+               z_axis: Optional[jnp.ndarray]):
+    """(patch_embedder.py:123-149).  patches [K,S,3]; z_axis [K,3] or None.
+    Returns (delta_x [K,S,3], rand_axis [K,3], R [K,3,3])."""
+    center = patches[:, -1, :]
+    delta = patches - center[:, None, :]
+    if dataset in ("3DMatch", "3DLoMatch"):
+        if z_axis is None:
+            from buffer_tpu.ops.normals import cal_z_axis
+            z = cal_z_axis(delta, ref_point=center)
+            z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
+        else:
+            z = z_axis
+        target = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], patches.dtype),
+                                  z.shape)
+        R = se3.rodrigues_a_to_b(z, target)                     # [K,3,3]
+        delta = delta @ R
+        rand_axis = jnp.cross(z, target)
+        rand_axis = rand_axis / jnp.maximum(
+            jnp.linalg.norm(rand_axis, axis=-1, keepdims=True), 1e-8)
+    else:  # KITTI / ETH: identity frame (patch_embedder.py:143-148)
+        rand_axis = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], patches.dtype),
+                                     center.shape)
+        R = jnp.broadcast_to(jnp.eye(3, dtype=patches.dtype),
+                             center.shape[:1] + (3, 3))
+    return delta, rand_axis, R
+
+
+def spt(
+    key: jax.Array,
+    delta_x: jnp.ndarray,        # [K, S, 3] normalized patch coords
+    rad_n: int, azi_n: int, ele_n: int,
+    voxel_r: float, voxel_sample: int,
+    kpt_chunk: int = 256,
+) -> jnp.ndarray:
+    """Spatial point transformer: per-anchor random sampling + azimuth
+    derotation.  Returns [K, rad_n*ele_n*azi_n, voxel_sample, 3] with zeros
+    in empty slots (matching sphere_query's zero-fill)."""
+    anchors = jnp.asarray(
+        gridmath.get_voxel_coordinate(1.0, rad_n, azi_n, ele_n)
+        .reshape(-1, 3), delta_x.dtype)                          # [A,3]
+    derot = jnp.asarray(gridmath.azimuth_derotations(azi_n), delta_x.dtype)
+    K, S, _ = delta_x.shape
+    A = anchors.shape[0]
+    prio = jax.random.uniform(key, (S,))                         # shared order
+    r2 = voxel_r * voxel_r
+
+    def per_block(block):                                        # [Kc,S,3]
+        d2 = (
+            jnp.sum(block * block, axis=-1)[:, None, :]
+            - 2.0 * jnp.einsum("ad,ksd->kas", anchors, block)
+            + jnp.sum(anchors * anchors, axis=-1)[None, :, None]
+        )                                                        # [Kc,A,S]
+        score = jnp.where(d2 <= r2, prio[None, None, :], -1e9)
+        vals, idx = lax.approx_max_k(
+            score.reshape(-1, S), voxel_sample, recall_target=0.95)
+        idx = idx.reshape(-1, A, voxel_sample)
+        ok = (vals > -1e8).reshape(-1, A, voxel_sample)
+        samp = jax.vmap(lambda b, i: jnp.take(b, i, axis=0))(
+            block, idx.reshape(-1, A * voxel_sample))
+        samp = samp.reshape(-1, A, voxel_sample, 3)
+        return jnp.where(ok[..., None], samp, 0.0)
+
+    if K <= kpt_chunk:
+        out = per_block(delta_x)
+    else:
+        pad = (-K) % kpt_chunk
+        dx = jnp.pad(delta_x, ((0, pad), (0, 0), (0, 0)))
+        blocks = dx.reshape(-1, kpt_chunk, S, 3)
+        out = lax.map(per_block, blocks).reshape(-1, A, voxel_sample, 3)[:K]
+    return gridmath.var_to_invar(out, derot, rad_n, azi_n, ele_n)
+
+
+class MiniSpinNet(nn.Module):
+    """Descriptor network (patch_embedder.py:17-91).  Operates on
+    pre-extracted, axis-aligned, normalized SPT tensors; the full
+    patch pipeline lives in :meth:`embed` for convenience."""
+
+    rad_n: int = 3
+    azi_n: int = 20
+    ele_n: int = 7
+
+    @nn.compact
+    def __call__(self, inv_patches: jnp.ndarray, train: bool = False):
+        """inv_patches: [K, A, nsample, 3] SPT output.
+        Returns (desc [K,32], equi [K,ele_n,azi_n,32])."""
+        K = inv_patches.shape[0]
+        h = nn.Dense(16, name="pnt_conv")(inv_patches)           # [K,A,ns,16]
+        h = MaskedBatchNorm(16, name="pnt_bn")(h, train=train)
+        h = nn.relu(h)
+        h = jnp.max(h, axis=2)                                   # max over samples
+        h = h.reshape(K, self.rad_n, self.ele_n, self.azi_n, 16)
+        x = CylindricalNet(name="conv_net")(h, train=train)      # [K,ele,azi,32]
+
+        w = nn.Dense(16, name="pool_conv1")(x)
+        w = MaskedBatchNorm(16, name="pool_bn1")(w, train=train)
+        w = nn.relu(w)
+        w = nn.Dense(1, name="pool_conv2")(w)
+        w = MaskedBatchNorm(1, name="pool_bn2")(w, train=train)
+        w = nn.relu(w)
+        f = jnp.mean(x * w, axis=(1, 2))                         # [K,32]
+        desc = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+        equi = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        return desc, equi
+
+
+def so2_augment(key: jax.Array, patches: jnp.ndarray, rand_axis: jnp.ndarray):
+    """Random z-rotation of each (aligned, normalized) patch
+    (patch_embedder.py:58-68).  Returns (patches, rand_axis, aug_rotation)."""
+    K = patches.shape[0]
+    ang = jax.random.uniform(key, (K, 1)) * 2 * jnp.pi
+    aa = jnp.concatenate([jnp.zeros((K, 2), patches.dtype), ang], axis=-1)
+    aug = se3.angle_axis_to_rotation_matrix(aa)                  # [K,3,3]
+    patches = patches @ jnp.swapaxes(aug, -1, -2)
+    rand_axis = jnp.einsum("kj,kij->ki", rand_axis, aug)
+    return patches, rand_axis, aug

@@ -1,0 +1,260 @@
+"""Rotation-equivariant point U-Net (EFCNN) and saliency decoder (DetNet).
+
+TPU-native reimplementation of ``models/point_learner.py`` (reference):
+the fixed architecture
+
+    VNN_first, VNN_resnetb_strided, VNN_resnetb, VNN_resnetb_strided,
+    VNN_resnetb, nearest_upsample, VN, nearest_upsample, VN
+    (models/point_learner.py:4-14)
+
+with VN channel dims 1 -> 10 -> 10 -> 20 -> 20 -> 40 (encoder) and
+40+20 -> 20, 20+10 -> 10 (decoder) for first_feats_dim=32
+(models/point_learner.py:17-119 dim bookkeeping).
+
+Differences from the reference are purely representational:
+
+* ragged stacked clouds -> a static :class:`Pyramid` of padded per-cloud
+  arrays ``[B, N_l, ...]`` with validity masks;
+* shadow neighbors (index == N with zero feature / query-point coordinate,
+  reference :328-349) -> ``neighbor_valid`` masks with *identical* zero-fill
+  arithmetic (unmasked mean over K keeps the reference's shadow-counting
+  denominator);
+* torch ``[N, C*3]`` flattened features -> ``[B, N, 3, C]`` VN layout.
+
+Parameter names mirror the torch attribute paths for .pth conversion.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from buffer_tpu.nn.vn import (
+    VNLinearLeakyReLU, VNStdFeature, masked_instance_norm, mean_pool,
+)
+
+
+class Pyramid(NamedTuple):
+    """Static-shape multiscale conv pyramid (the reference builds this
+    raggedly in ``collate_fn_descriptor``, ThreeDMatch/dataloader.py:115-245).
+
+    All arrays have a leading cloud axis B (=2: src, tgt).
+    """
+
+    points: Tuple[jnp.ndarray, ...]          # [B, N_l, 3]
+    masks: Tuple[jnp.ndarray, ...]           # [B, N_l] bool
+    neighbors: Tuple[jnp.ndarray, ...]       # [B, N_l, K_l] int32 (level l)
+    neighbor_valid: Tuple[jnp.ndarray, ...]  # [B, N_l, K_l] bool
+    pools: Tuple[jnp.ndarray, ...]           # [B, N_{l+1}, K_l] int32 (into level l)
+    pool_valid: Tuple[jnp.ndarray, ...]      # [B, N_{l+1}, K_l] bool
+    upsamples: Tuple[jnp.ndarray, ...]       # [B, N_l] int32 (into level l+1)
+    upsample_valid: Tuple[jnp.ndarray, ...]  # [B, N_l] bool
+    features: jnp.ndarray                    # [B, N_0, 3] input normals
+
+
+def _bgather(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-cloud gather: arr [B, N, ...], idx [B, ...] -> [B, ..., ...]."""
+    return jax.vmap(lambda a, i: jnp.take(a, i, axis=0))(arr, idx)
+
+
+def gather_neighborhood(
+    s_pts: jnp.ndarray, s_feat: jnp.ndarray, q_pts: jnp.ndarray,
+    idx: jnp.ndarray, valid: jnp.ndarray, scale: float,
+):
+    """Gather neighbor features and scale-normalized centered offsets.
+
+    Returns (neighb_x [B,Nq,K,3,C], eqv [B,Nq,K,3]).  Shadow slots get zero
+    features and zero offsets (the reference replaces the shadow point by
+    the query point before centering — same thing;
+    models/point_learner.py:328-343)."""
+    nbr_xyz = _bgather(s_pts, idx)                       # [B,Nq,K,3]
+    eqv = (nbr_xyz - q_pts[:, :, None, :]) / scale
+    eqv = jnp.where(valid[..., None], eqv, 0.0)
+    nbr_f = _bgather(s_feat, idx)                        # [B,Nq,K,3,C]
+    nbr_f = jnp.where(valid[..., None, None], nbr_f, 0.0)
+    return nbr_f, eqv
+
+
+def _vnn_input(neighb_x: jnp.ndarray, eqv: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Assemble the VN conv input channels (modes '1' and '6' are the only
+    live ones; models/point_learner.py:354-394)."""
+    e = eqv[..., None]                                   # [B,N,K,3,1]
+    if mode == "1":
+        return jnp.concatenate([neighb_x, e], axis=-1)
+    if mode == "6":
+        # cross product of the (single-channel) feature with the offset
+        cros = jnp.cross(neighb_x[..., 0], eqv)[..., None]
+        mean = jnp.mean(eqv, axis=2, keepdims=True)      # over K, shadows count
+        mean = jnp.broadcast_to(mean, eqv.shape)[..., None]
+        return jnp.concatenate([neighb_x, e, cros, mean], axis=-1)
+    raise ValueError(f"unsupported VNN mode {mode!r}")
+
+
+class VNNConvBlock(nn.Module):
+    """'VNN_first' block: gather -> mode-'6' concat -> VNLinearLeakyReLU ->
+    mean pool over neighbors (models/point_learner.py:268-416)."""
+
+    out_dim: int
+    mode: str
+    scale: float
+
+    @nn.compact
+    def __call__(self, x, q_pts, q_mask, s_pts, idx, valid, train=False):
+        neighb_x, eqv = gather_neighborhood(s_pts, x, q_pts, idx, valid, self.scale)
+        inp = _vnn_input(neighb_x, eqv, self.mode)
+        bn_mask = jnp.broadcast_to(q_mask[:, :, None], idx.shape)
+        h = VNLinearLeakyReLU(self.out_dim, name="conv")(inp, mask=bn_mask, train=train)
+        return mean_pool(h, axis=2)                      # [B,Nq,3,out]
+
+
+class VNNResnetBlock(nn.Module):
+    """Bottleneck residual VNN block (models/point_learner.py:419-582):
+    conv(out/2 on neighborhoods) -> mean pool -> unary(out) with a
+    unary_shortcut on the (max-pooled if strided) input features."""
+
+    out_dim: int
+    scale: float
+    strided: bool = False
+
+    @nn.compact
+    def __call__(self, x, q_pts, q_mask, s_pts, idx, valid, train=False):
+        neighb_x, eqv = gather_neighborhood(s_pts, x, q_pts, idx, valid, self.scale)
+        inp = _vnn_input(neighb_x, eqv, "1")
+        bn_mask = jnp.broadcast_to(q_mask[:, :, None], idx.shape)
+        h = VNLinearLeakyReLU(self.out_dim // 2, name="conv")(inp, mask=bn_mask, train=train)
+        h = mean_pool(h, axis=2)
+        h = VNLinearLeakyReLU(self.out_dim, name="unary")(h, mask=q_mask, train=train)
+
+        if self.strided:
+            # max over gathered features; the reference's appended zero row
+            # means shadow slots clamp the max at 0 (point_learner.py:650-666)
+            nbr_f = jnp.where(valid[..., None, None], _bgather(x, idx), 0.0)
+            shortcut = jnp.max(nbr_f, axis=2)
+        else:
+            shortcut = x
+        shortcut = VNLinearLeakyReLU(self.out_dim, name="unary_shortcut")(
+            shortcut, mask=q_mask, train=train)
+        return h + shortcut
+
+
+class VNBlock(nn.Module):
+    """Plain pointwise VN MLP block ('VN' decoder entries,
+    models/point_learner.py:246-265)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, mask, train=False):
+        return VNLinearLeakyReLU(self.out_dim, name="mlp")(x, mask=mask, train=train)
+
+
+def nearest_upsample(x: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """closest_pool: copy the nearest coarse feature; shadow -> zeros
+    (models/point_learner.py:635-647)."""
+    up = _bgather(x, idx)
+    return jnp.where(valid[..., None, None], up, 0.0)
+
+
+class InvariantHead(nn.Module):
+    """VNStdFeature -> Conv1d(3C->2C) -> IN -> Conv1d(2C->C) -> IN ->
+    Conv1d(C->1) -> activation.  Shared structure of EFCNN.inv_layer
+    (Sigmoid, point_learner.py:163-171) and DetNet.invar_layer (Softplus,
+    :128-136).  Instance-norm statistics span both clouds jointly (the
+    reference stacks them on one instance axis)."""
+
+    dim: int
+    activation: str  # 'sigmoid' | 'softplus'
+
+    @nn.compact
+    def __call__(self, x, mask, train=False):
+        h = VNStdFeature(self.dim, name="std")(x, mask=mask, train=train)  # [B,N,3C]
+        h = nn.Dense(self.dim * 2, name="conv1")(h)
+        h = masked_instance_norm(h, mask, axes=(0, 1))
+        h = nn.Dense(self.dim, name="conv2")(h)
+        h = masked_instance_norm(h, mask, axes=(0, 1))
+        h = nn.Dense(1, name="conv3")(h)
+        if self.activation == "sigmoid":
+            return nn.sigmoid(h)
+        return nn.softplus(h)
+
+
+class _DecoderMixin:
+    """Shared decoder wiring for EFCNN and DetNet (reference Decoder,
+    models/point_learner.py:78-119): up(2->1), VN(60->20), up(1->0),
+    VN(30->10)."""
+
+    def _decode(self, bottle, skips, pyr: Pyramid, train: bool):
+        x = nearest_upsample(bottle, pyr.upsamples[1], pyr.upsample_valid[1])
+        x = jnp.concatenate([x, skips[1]], axis=-1)
+        x = VNBlock(self.first_dim * 2, name="decoder_blocks_1")(
+            x, pyr.masks[1], train=train)
+        x = nearest_upsample(x, pyr.upsamples[0], pyr.upsample_valid[0])
+        x = jnp.concatenate([x, skips[0]], axis=-1)
+        x = VNBlock(self.first_dim, name="decoder_blocks_3")(
+            x, pyr.masks[0], train=train)
+        return x
+
+
+class EFCNN(nn.Module, _DecoderMixin):
+    """Reference-axis U-Net (models/point_learner.py:154-204).
+
+    Returns (axis [B,N0,3], eps [B,N0,1], branch dict with the bottleneck
+    and skip features for DetNet)."""
+
+    first_dim: int = 10     # first_feats_dim // 3
+    scale: float = 1.0      # cfg.test.scale (point_learner.py:32,343)
+
+    @nn.compact
+    def __call__(self, pyr: Pyramid, train: bool = False):
+        f = pyr.features[..., None]                     # [B,N0,3,1]
+        x0 = VNNConvBlock(self.first_dim, "6", self.scale, name="encoder_blocks_0")(
+            f, pyr.points[0], pyr.masks[0], pyr.points[0],
+            pyr.neighbors[0], pyr.neighbor_valid[0], train)
+        skip0 = x0
+        x1 = VNNResnetBlock(self.first_dim, self.scale, strided=True,
+                            name="encoder_blocks_1")(
+            x0, pyr.points[1], pyr.masks[1], pyr.points[0],
+            pyr.pools[0], pyr.pool_valid[0], train)
+        x1 = VNNResnetBlock(self.first_dim * 2, self.scale,
+                            name="encoder_blocks_2")(
+            x1, pyr.points[1], pyr.masks[1], pyr.points[1],
+            pyr.neighbors[1], pyr.neighbor_valid[1], train)
+        skip1 = x1
+        x2 = VNNResnetBlock(self.first_dim * 2, self.scale, strided=True,
+                            name="encoder_blocks_3")(
+            x1, pyr.points[2], pyr.masks[2], pyr.points[1],
+            pyr.pools[1], pyr.pool_valid[1], train)
+        x2 = VNNResnetBlock(self.first_dim * 4, self.scale,
+                            name="encoder_blocks_4")(
+            x2, pyr.points[2], pyr.masks[2], pyr.points[2],
+            pyr.neighbors[2], pyr.neighbor_valid[2], train)
+
+        bottle, skips = x2, (skip0, skip1)
+        x = self._decode(bottle, skips, pyr, train)
+
+        # axis head: two VN MLPs down to one channel (point_learner.py:159-162)
+        h = VNLinearLeakyReLU(self.first_dim // 2, name="fc_layer_0")(
+            x, mask=pyr.masks[0], train=train)
+        h = VNLinearLeakyReLU(1, name="fc_layer_1")(
+            h, mask=pyr.masks[0], train=train)
+        axis = h[..., 0]                                 # [B,N0,3]
+        eps = InvariantHead(self.first_dim, "sigmoid", name="inv_layer")(
+            x, pyr.masks[0], train)
+        return axis, eps, {"bottle": bottle, "skips": skips}
+
+
+class DetNet(nn.Module, _DecoderMixin):
+    """Saliency decoder (models/point_learner.py:122-151): EFCNN's decoder
+    wiring with independent weights, run on EFCNN's (frozen) bottleneck and
+    skips; Softplus head."""
+
+    first_dim: int = 10
+
+    @nn.compact
+    def __call__(self, pyr: Pyramid, branch, train: bool = False):
+        x = self._decode(branch["bottle"], branch["skips"], pyr, train)
+        return InvariantHead(self.first_dim, "softplus", name="invar_layer")(
+            x, pyr.masks[0], train)

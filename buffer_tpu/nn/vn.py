@@ -1,0 +1,203 @@
+"""Vector-Neuron primitives (flax), TPU layout.
+
+Reimplements the reference's ``models/vn_layers.py`` with a channels-last
+layout: VN features are ``[..., 3, C]`` (3 = vector components, C = VN
+channels) so channel contractions are lane-aligned matmuls on the MXU.
+The torch reference uses ``[B, C, 3, N, (K)]``; the flattened interleaving
+``[N, C*3]`` it passes between blocks is channel-major, which our
+``flatten_vn``/``unflatten_vn`` preserve for checkpoint parity.
+
+Module and parameter names mirror the torch attribute names
+(``map_to_feat``, ``map_to_dir``, ``batchnorm.bn``) so the ``.pth``
+converter (buffer_tpu.compat) is a mechanical renaming.
+
+Reference: models/vn_layers.py:12-222.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+EPS = 1e-6  # reference models/vn_layers.py:10
+
+
+def flatten_vn(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, C] -> [..., C*3] in the torch channel-major order
+    (flat index = c*3 + component)."""
+    moved = jnp.swapaxes(x, -1, -2)  # [..., C, 3]
+    return moved.reshape(*x.shape[:-2], x.shape[-1] * 3)
+
+
+def unflatten_vn(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., C*3] -> [..., 3, C] (inverse of :func:`flatten_vn`)."""
+    c = x.shape[-1] // 3
+    moved = x.reshape(*x.shape[:-1], c, 3)
+    return jnp.swapaxes(moved, -1, -2)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm with torch semantics and an optional validity mask.
+
+    Normalizes the last axis (channels).  In training, batch statistics are
+    computed over all other axes restricted to ``mask``; running stats are
+    EMA-updated exactly like torch (momentum 0.1, unbiased running var).
+    In eval, running statistics are used (torch ``.eval()`` semantics,
+    required for checkpoint parity).
+    """
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        dtype = x.dtype
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+        if train:
+            reduce_axes = tuple(range(x.ndim - 1))
+            if mask is None:
+                cnt = jnp.asarray(
+                    jnp.prod(jnp.asarray(x.shape[:-1])), jnp.float32)
+                mean = jnp.mean(x, axis=reduce_axes)
+                var = jnp.mean((x - mean) ** 2, axis=reduce_axes)
+            else:
+                m = mask.astype(jnp.float32)[..., None]
+                cnt = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(x * m, axis=reduce_axes) / cnt
+                var = jnp.sum(m * (x - mean) ** 2, axis=reduce_axes) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean.astype(dtype)) * jnp.reciprocal(
+            jnp.sqrt(var.astype(dtype) + self.eps))
+        if self.affine:
+            w = self.param("weight", nn.initializers.ones, (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y * w + b
+        return y
+
+
+class VNLinear(nn.Module):
+    """Channel mixing over VN channels (models/vn_layers.py:12-22)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(self.features, use_bias=False, name="map_to_feat")(x)
+
+
+class VNBatchNorm(nn.Module):
+    """Norm-renormalizing batch norm (models/vn_layers.py:108-130):
+    BN is applied to the vector *norms*, and features are rescaled to the
+    normalized norm.  Identity when features == 1 (reference :123)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        bn = MaskedBatchNorm(self.features, name="bn")
+        if self.features == 1:
+            # parameters must still exist for checkpoint-shape parity
+            _ = bn(jnp.zeros_like(x[..., 0, :]), train=False)
+            return x
+        norm = jnp.linalg.norm(x, axis=-2) + EPS  # [..., C]
+        norm_bn = bn(norm, mask=mask, train=train)
+        return x / norm[..., None, :] * norm_bn[..., None, :]
+
+
+class VNLeakyReLU(nn.Module):
+    """Direction-gated leaky ReLU (models/vn_layers.py:25-43)."""
+
+    features: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = nn.Dense(self.features, use_bias=False, name="map_to_dir")(x)
+        return _vn_leaky(x, d, self.negative_slope)
+
+
+def _vn_leaky(p: jnp.ndarray, d: jnp.ndarray, slope: float) -> jnp.ndarray:
+    dot = jnp.sum(p * d, axis=-2, keepdims=True)
+    pos = (dot >= 0).astype(p.dtype)
+    d_norm_sq = jnp.sum(d * d, axis=-2, keepdims=True)
+    reflected = p - (dot / (d_norm_sq + EPS)) * d
+    return slope * p + (1.0 - slope) * (pos * p + (1.0 - pos) * reflected)
+
+
+class VNLinearLeakyReLU(nn.Module):
+    """Linear -> VNBatchNorm -> direction-gated leaky ReLU
+    (models/vn_layers.py:46-75).  NOTE the gating direction ``d`` is
+    computed from the *input* x, while the gated value is the normalized
+    linear output p — faithful to the reference."""
+
+    features: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        p = nn.Dense(self.features, use_bias=False, name="map_to_feat")(x)
+        p = VNBatchNorm(self.features, name="batchnorm")(p, mask=mask, train=train)
+        d = nn.Dense(self.features, use_bias=False, name="map_to_dir")(x)
+        return _vn_leaky(p, d, self.negative_slope)
+
+
+class VNStdFeature(nn.Module):
+    """Learned invariant frame (models/vn_layers.py:169-222,
+    normalize_frame=False variant used by EFCNN/DetNet heads).
+
+    Input [..., 3, C]; output the invariant features flattened to
+    [..., C*3] in the torch order (c*3 + k)."""
+
+    features: int
+    negative_slope: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        z = VNLinearLeakyReLU(self.features, self.negative_slope, name="vn1")(
+            x, mask=mask, train=train)
+        z = VNLinearLeakyReLU(self.features // 2, self.negative_slope, name="vn2")(
+            z, mask=mask, train=train)
+        z = nn.Dense(3, use_bias=False, name="vn_lin")(z)  # [..., 3(j), 3(k)]
+        # torch (dim=4): x_std[c,k] = sum_j x[c,j] * z0[j,k]
+        std = jnp.einsum("...jc,...jk->...ck", x, z)
+        return std.reshape(*std.shape[:-2], std.shape[-1] * std.shape[-2])
+
+
+def masked_instance_norm(x: jnp.ndarray, mask: jnp.ndarray,
+                         axes: tuple, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm with statistics over ``axes`` restricted to ``mask``.
+
+    The reference applies torch ``nn.InstanceNorm1d`` to the *stacked*
+    src+tgt point axis (batch size 1, models/point_learner.py:128-136,
+    163-171), i.e. one set of statistics over both clouds jointly; callers
+    reproduce that by including the cloud axis in ``axes``.
+    """
+    m = mask.astype(x.dtype)[..., None]
+    cnt = jnp.maximum(jnp.sum(m, axis=axes, keepdims=True), 1.0)
+    mean = jnp.sum(x * m, axis=axes, keepdims=True) / cnt
+    var = jnp.sum(m * (x - mean) ** 2, axis=axes, keepdims=True) / cnt
+    return (x - mean) / jnp.sqrt(var + eps)
+
+
+def mean_pool(x: jnp.ndarray, axis: int = -3) -> jnp.ndarray:
+    """Unmasked mean over the neighbor axis — shadow neighbors contribute
+    zeros to the numerator but still count in the denominator, exactly like
+    the reference's ``mean_pool`` over gathered arrays with zeroed shadow
+    rows (models/vn_layers.py:165-166, models/point_learner.py:349,413)."""
+    return jnp.mean(x, axis=axis)
