@@ -50,10 +50,15 @@ def get_voxel_coordinate(radius: float, rad_n: int, azi_n: int, ele_n: int) -> n
 def azimuth_derotations(azi_n: int) -> np.ndarray:
     """[azi_n, 3, 3] rotations mapping each azimuth bin back to bin 0,
     i.e. Rz(-i * 2pi/azi_n) — the rotation applied (transposed, row-vector
-    convention) by ``var_to_invar`` (utils/common.py:483-493)."""
-    angles = np.zeros((azi_n, 3))
-    angles[:, 2] = -np.arange(azi_n) * (2 * np.pi / azi_n)
-    return np.asarray(se3.angles_to_rotation_matrix(jnp.asarray(angles)))
+    convention) by ``var_to_invar`` (utils/common.py:483-493).  Pure numpy:
+    this is a static table baked into the compiled program."""
+    ang = -np.arange(azi_n) * (2 * np.pi / azi_n)
+    c, s = np.cos(ang), np.sin(ang)
+    R = np.zeros((azi_n, 3, 3))
+    R[:, 0, 0], R[:, 0, 1] = c, -s
+    R[:, 1, 0], R[:, 1, 1] = s, c
+    R[:, 2, 2] = 1.0
+    return R
 
 
 def var_to_invar(pts: jnp.ndarray, rotations: jnp.ndarray,

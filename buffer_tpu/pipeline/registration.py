@@ -1,0 +1,151 @@
+"""End-to-end registration of one fragment pair — a single jitted function.
+
+This is the TPU-native rewrite of the reference's inference branch
+(``models/BUFFER.py:231-333`` plus the surrounding test harness): normals,
+pyramid, EFCNN axes, DetNet saliency, FPS keypoints, MiniSpinNet
+descriptors, mutual matching, the SO(2) cost volume, hypothesis voting,
+batched RANSAC, and IRLS refinement all execute inside one XLA program —
+no host round-trips (the reference hops GPU -> CPU for Open3D RANSAC and
+``torch.svd`` at models/BUFFER.py:314-328,455).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from buffer_tpu.config import Config
+from buffer_tpu.models.composite import BufferModel
+from buffer_tpu.models import patch_embedder as pe
+from buffer_tpu.ops.normals import estimate_normals
+from buffer_tpu.ops.sampling import farthest_point_sample
+from buffer_tpu.pipeline.pyramid import build_pyramid
+from buffer_tpu.pipeline import matching, ransac, refine
+
+
+class PairInputs(NamedTuple):
+    """Static-shape device inputs for one fragment pair (both clouds padded
+    to the ``cfg.static`` plan).  ``raw`` is the first-downsample cloud used
+    for patch extraction (src_pcd_raw/tgt_pcd_raw in the reference);
+    ``sds`` the second-downsample cloud the point learner runs on."""
+
+    raw: jnp.ndarray        # [2, R, 3]
+    raw_mask: jnp.ndarray   # [2, R]
+    sds: jnp.ndarray        # [2, S0, 3]
+    sds_mask: jnp.ndarray   # [2, S0]
+
+
+class RegistrationResult(NamedTuple):
+    pose: jnp.ndarray         # [4, 4] src -> tgt
+    num_mutual: jnp.ndarray   # [] int32
+    num_inliers: jnp.ndarray  # [] int32
+    kpts: jnp.ndarray         # [2, K, 3]
+    kpt_valid: jnp.ndarray    # [2, K]
+
+
+def orient_axes(axis: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Normalize and orient toward the origin-facing hemisphere
+    (models/BUFFER.py:244-249: flip where sum(-axis * p) < 0)."""
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-8)
+    flip = jnp.sum(-axis * pts, axis=-1, keepdims=True) < 0
+    return jnp.where(flip, -axis, axis)
+
+
+def describe_cloud(model: BufferModel, variables, cfg: Config, key,
+                   raw, raw_mask, kpts, axes):
+    """MiniSpinNet over one cloud's keypoints (models/patch_embedder.py:47-91
+    test path: patches -> axis-align -> /des_r -> SPT -> network)."""
+    p = cfg.patch
+    k1, k2 = jax.random.split(key)
+    patches = pe.extract_patches(k1, raw, raw_mask, kpts, p.des_r,
+                                 p.num_points_per_patch)
+    delta, rand_axis, R = pe.axis_align(patches, cfg.data.dataset, axes)
+    delta = delta / p.des_r
+    inv = pe.spt(k2, delta, p.rad_n, p.azi_n, p.ele_n,
+                 p.delta / p.rad_n, p.voxel_sample)
+    desc, equi = model.Desc.apply(variables["Desc"], inv)
+    return desc, equi, R
+
+
+def register_pair(model: BufferModel, variables: Dict[str, dict],
+                  inputs: PairInputs, key: jax.Array) -> RegistrationResult:
+    cfg = model.cfg
+    K = cfg.point.num_keypts
+    k_norm, k_desc0, k_desc1, k_ransac = jax.random.split(key, 4)
+
+    # 1. input features: PCA normals on the sds clouds (the reference
+    #    estimates these host-side with Open3D, ThreeDMatch/dataset.py:142-153)
+    normals = jax.vmap(
+        lambda p, m: estimate_normals(p, m, knn=cfg.static.normal_knn,
+                                      chunk=cfg.static.knn_chunk)
+    )(inputs.sds, inputs.sds_mask)
+
+    # 2. conv pyramid + point learner
+    pyr = build_pyramid(cfg, inputs.sds, inputs.sds_mask, normals)
+    axis, eps, branch = model.Ref.apply(variables["Ref"], pyr)
+    axis = orient_axes(axis, inputs.sds)                     # [2, S0, 3]
+    score = model.Keypt.apply(variables["Keypt"], pyr, branch)[..., 0]
+
+    # 3. detector threshold + FPS (models/BUFFER.py:255-271)
+    eligible = inputs.sds_mask & (score > cfg.point.keypts_th)
+    kidx, kvalid = jax.vmap(lambda p, e: farthest_point_sample(p, e, K))(
+        inputs.sds, eligible)
+    kpts = jnp.take_along_axis(inputs.sds, kidx[..., None], axis=1)
+    kaxes = jnp.take_along_axis(axis, kidx[..., None], axis=1)
+
+    # 4. descriptors for both clouds
+    s_des, s_equi, s_R = describe_cloud(model, variables, cfg, k_desc0,
+                                        inputs.raw[0], inputs.raw_mask[0],
+                                        kpts[0], kaxes[0])
+    t_des, t_equi, t_R = describe_cloud(model, variables, cfg, k_desc1,
+                                        inputs.raw[1], inputs.raw_mask[1],
+                                        kpts[1], kaxes[1])
+
+    # 5. mutual matching (models/BUFFER.py:283-289)
+    m = matching.mutual_matching(s_des, t_des, kvalid[0], kvalid[1])
+    ss_kpts = kpts[0]
+    tt_kpts = kpts[1][m.tgt_idx]
+    ss_R = s_R
+    tt_R = t_R[m.tgt_idx]
+
+    # 6. SO(2) azimuth via the cost volume on the reduced elevation band
+    #    (models/BUFFER.py:291-292)
+    band = slice(1, cfg.patch.ele_n - 1)
+    ind = model.Inlier.apply(variables["Inlier"],
+                             s_equi[:, band], t_equi[m.tgt_idx][:, band])
+
+    # 7. per-match hypotheses + voting (models/BUFFER.py:294-311)
+    R_h, t_h = matching.pose_hypotheses(ss_kpts, tt_kpts, ss_R, tt_R, ind,
+                                        cfg.patch.azi_n)
+    best, vote_inliers = matching.vote_hypotheses(
+        ss_kpts, tt_kpts, R_h, t_h, m.mutual, cfg.patch.azi_n,
+        cfg.match.inlier_th)
+
+    # 8. batched RANSAC over the winner's inlier correspondences
+    #    (models/BUFFER.py:314-324)
+    pose, ransac_inl = ransac.ransac_pose(
+        k_ransac, ss_kpts, tt_kpts, vote_inliers,
+        cfg.match.dist_th, cfg.match.similar_th, cfg.match.hypotheses)
+
+    # 9. IRLS refinement (models/BUFFER.py:327-328, 3DMatch/ETH only)
+    if cfg.test.pose_refine:
+        th = 1.2 if cfg.data.dataset == "KITTI" else 0.10
+        pose = refine.post_refinement(pose, ss_kpts, tt_kpts, m.mutual, th,
+                                      iters=cfg.static.refine_iters)
+
+    return RegistrationResult(
+        pose=pose,
+        num_mutual=jnp.sum(m.mutual.astype(jnp.int32)),
+        num_inliers=jnp.sum(ransac_inl.astype(jnp.int32)),
+        kpts=kpts, kpt_valid=kvalid)
+
+
+def make_register_fn(model: BufferModel):
+    """jit-compiled registration closure over the static model config."""
+    @partial(jax.jit, static_argnums=())
+    def fn(variables, inputs: PairInputs, key):
+        return register_pair(model, variables, inputs, key)
+    return fn
