@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark: fragment-pair registrations per second on one TPU chip.
+
+Runs the full single-jit registration pipeline (normals -> pyramid ->
+EFCNN/DetNet -> FPS -> MiniSpinNet -> matching -> cost volume -> voting ->
+batched RANSAC -> IRLS) on a synthetic 3DMatch-scale fragment pair with the
+real converted reference weights, at the full static plan (30720 sds points
+per cloud, 65536 raw points, 1500 keypoints).
+
+Baseline: the reference reports ~0.2-0.3 s/pair model time on an RTX-class
+GPU (BUFFER paper; BASELINE.md) — we take 0.25 s/pair => 4.0 pairs/s as the
+baseline.  Prints exactly one JSON line.
+
+Usage: python bench.py [--size full|small] [--iters N]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_PAIRS_PER_SEC = 4.0  # 0.25 s/pair reference GPU time (BASELINE.md)
+
+
+def synthetic_pair(cfg, seed=0):
+    """A 3DMatch-like synthetic fragment pair: wavy surface patch ~3m x 3m
+    at 2cm density, second cloud rigidly transformed."""
+    import jax
+    import jax.numpy as jnp
+    from buffer_tpu.core import se3
+    from buffer_tpu.ops.subsample import voxel_subsample_np
+    from buffer_tpu.pipeline.registration import PairInputs
+
+    rs = np.random.RandomState(seed)
+    n_raw = min(cfg.static.raw_points, 60000)
+    # extent scales with the point budget so surface density stays at
+    # 3DMatch-like levels (~2 cm spacing at full size)
+    ext = 1.5 * np.sqrt(n_raw / 60000.0)
+    raw = rs.uniform(-ext, ext, (n_raw, 3)).astype(np.float32)
+    raw[:, 2] = (0.5 * np.sin(2.0 * raw[:, 0]) + 0.4 * np.cos(1.7 * raw[:, 1])
+                 + 0.15 * np.sin(6.0 * raw[:, 0] * raw[:, 1]) + 2.0)
+    sds = voxel_subsample_np(raw, cfg.data.voxel_size_0).astype(np.float32)
+    rs.shuffle(sds)
+
+    R = np.asarray(se3.random_rotation(jax.random.PRNGKey(11), 3))
+    t = np.array([0.4, -0.2, 0.3], np.float32)
+    T = np.asarray(se3.integrate_trans(jnp.asarray(R), jnp.asarray(t)))
+
+    def pad(x, n):
+        o = np.zeros((n, 3), np.float32)
+        o[: min(len(x), n)] = x[:n]
+        m = np.zeros(n, bool)
+        m[: min(len(x), n)] = True
+        return o, m
+
+    r0, m0 = pad(raw, cfg.static.raw_points)
+    s0, n0 = pad(sds, cfg.static.points_l0)
+    r1, m1 = pad(raw @ T[:3, :3].T + T[:3, 3], cfg.static.raw_points)
+    s1, n1 = pad(sds @ T[:3, :3].T + T[:3, 3], cfg.static.points_l0)
+    import jax.numpy as jnp
+    inputs = PairInputs(jnp.asarray(np.stack([r0, r1])),
+                        jnp.asarray(np.stack([m0, m1])),
+                        jnp.asarray(np.stack([s0, s1])),
+                        jnp.asarray(np.stack([n0, n1])))
+    return inputs, T
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="full", choices=["full", "small"])
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    from buffer_tpu.config import make_cfg, tiny_cfg
+    from buffer_tpu.models.composite import BufferModel
+    from buffer_tpu.pipeline.registration import register_pair
+
+    cfg = make_cfg("3DMatch") if args.size == "full" else tiny_cfg()
+    model = BufferModel(cfg)
+
+    try:
+        from buffer_tpu.compat.torch_convert import load_variables
+        SNAP = "/root/reference/ThreeDMatch/snapshot/06132318"
+        variables = load_variables(
+            {s: f"{SNAP}/{s}/best.pth" for s in ("Ref", "Desc", "Keypt", "Inlier")})
+    except Exception:
+        variables = model.init(jax.random.PRNGKey(0))
+
+    inputs, T_gt = synthetic_pair(cfg)
+    fn = jax.jit(lambda v, i, k: register_pair(model, v, i, k))
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    res = jax.block_until_ready(fn(variables, inputs, key))
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(args.iters):
+        res = jax.block_until_ready(fn(variables, inputs,
+                                       jax.random.PRNGKey(i)))
+    dt = (time.time() - t0) / args.iters
+    pairs_per_sec = 1.0 / dt
+
+    pose = np.asarray(res.pose)
+    rte = float(np.linalg.norm(pose[:3, 3] - T_gt[:3, 3]))
+    rre = float(np.degrees(np.arccos(np.clip(
+        (np.trace(pose[:3, :3].T @ T_gt[:3, :3]) - 1) / 2, -1, 1))))
+
+    print(json.dumps({
+        "metric": "3dmatch_pairs_per_sec_single_chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        "extra": {
+            "ms_per_pair": round(1000 * dt, 2),
+            "compile_s": round(compile_s, 1),
+            "sanity_rte_m": round(rte, 4),
+            "sanity_rre_deg": round(rre, 3),
+            "mutual_matches": int(res.num_mutual),
+            "platform": jax.devices()[0].platform,
+            "size": args.size,
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

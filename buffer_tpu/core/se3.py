@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from buffer_tpu.core.numerics import safe_norm, safe_normalize
+
 EPS = 1e-8
 
 
@@ -62,7 +64,7 @@ def angle_axis_to_rotation_matrix(angle_axis: jnp.ndarray) -> jnp.ndarray:
     Matches kornia's convention (models/BUFFER.py:295-299 converts an
     azimuth angle into a z-axis rotation through this function).
     """
-    theta = jnp.linalg.norm(angle_axis, axis=-1, keepdims=True)
+    theta = safe_norm(angle_axis, axis=-1, keepdims=True)
     axis = angle_axis / jnp.maximum(theta, EPS)
     k = _skew(axis)
     s = jnp.sin(theta)[..., None]
@@ -100,10 +102,10 @@ def rodrigues_a_to_b(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     c = jnp.cross(a, b)
     cos = jnp.sum(a * b, axis=-1) / jnp.maximum(
-        jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1), EPS
+        safe_norm(a, axis=-1) * safe_norm(b, axis=-1), EPS
     )
     theta = jnp.arccos(jnp.clip(cos, -1.0, 1.0))[:, None, None]
-    c = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), EPS)
+    c = safe_normalize(c, axis=-1, eps=EPS)
     k = _skew(c)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=a.dtype), k.shape)
     R = eye + jnp.sin(theta) * k + (1.0 - jnp.cos(theta)) * (k @ k)

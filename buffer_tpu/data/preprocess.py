@@ -1,0 +1,78 @@
+"""Host-side preprocessing: raw clouds -> static padded PairInputs.
+
+The analog of the reference's dataset __getitem__ + collate
+(``ThreeDMatch/dataset.py:80-162``, ``ThreeDMatch/dataloader.py:115-245``),
+minus everything we moved on-device (normals, neighbor tables, pyramid).
+What remains host-side is cheap: double voxel downsampling, random
+shuffles/augmentation, point-count caps, and zero-padding to the static
+plan.  A C++ fast path for the voxel grid is used when the native library
+is built (buffer_tpu/kernels); numpy otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from buffer_tpu.config import Config
+from buffer_tpu.kernels.host import voxel_subsample_host
+
+
+def pad_cloud(pts: np.ndarray, n: int, rs: Optional[np.random.RandomState] = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Cap (random subset, like max_numPts handling in
+    ThreeDMatch/dataset.py:134-140) and zero-pad to n with a mask."""
+    if len(pts) > n:
+        rs = rs or np.random
+        idx = rs.choice(len(pts), n, replace=False)
+        pts = pts[idx]
+    out = np.zeros((n, 3), np.float32)
+    out[: len(pts)] = pts
+    mask = np.zeros((n,), bool)
+    mask[: len(pts)] = True
+    return out, mask
+
+
+def prepare_pair(
+    cfg: Config,
+    src_raw: np.ndarray,
+    tgt_raw: np.ndarray,
+    rs: Optional[np.random.RandomState] = None,
+    already_downsampled: bool = False,
+):
+    """Build the arrays for :class:`PairInputs` from two raw clouds.
+
+    If ``already_downsampled`` is False, applies the first voxel
+    downsampling (cfg.data.downsample) to produce the 'raw' clouds the
+    patch embedder samples from, then the second (voxel_size_0) for the
+    point-learner clouds — exactly the reference's two-stage scheme
+    (ThreeDMatch/dataset.py:93,125)."""
+    import jax.numpy as jnp
+    from buffer_tpu.pipeline.registration import PairInputs
+
+    rs = rs or np.random.RandomState(0)
+    st = cfg.static
+
+    def stage(pts):
+        fds = pts if already_downsampled else voxel_subsample_host(
+            pts, cfg.data.downsample)
+        rs.shuffle(fds)
+        sds = voxel_subsample_host(fds, cfg.data.voxel_size_0)
+        rs.shuffle(sds)
+        if len(sds) > cfg.data.max_numPts:
+            sds = sds[rs.choice(len(sds), cfg.data.max_numPts, replace=False)]
+        return fds.astype(np.float32), sds.astype(np.float32)
+
+    s_fds, s_sds = stage(src_raw)
+    t_fds, t_sds = stage(tgt_raw)
+    r0, m0 = pad_cloud(s_fds, st.raw_points, rs)
+    r1, m1 = pad_cloud(t_fds, st.raw_points, rs)
+    s0, n0 = pad_cloud(s_sds, st.points_l0, rs)
+    s1, n1 = pad_cloud(t_sds, st.points_l0, rs)
+    return PairInputs(
+        raw=jnp.asarray(np.stack([r0, r1])),
+        raw_mask=jnp.asarray(np.stack([m0, m1])),
+        sds=jnp.asarray(np.stack([s0, s1])),
+        sds_mask=jnp.asarray(np.stack([n0, n1])),
+    )

@@ -1,0 +1,123 @@
+"""Evaluation harnesses mirroring the reference test entry points
+(``ThreeDMatch/test.py``, ``KITTI/test.py``, ``generalization/*/test.py``):
+run every pair through the jitted registration pipeline, write
+Redwood-format trajectories, report DGR recall (RTE/RRE thresholds per
+dataset) and — for 3DMatch/3DLoMatch — the covariance-weighted
+Registration Recall against ``gt.info``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+import jax
+
+from buffer_tpu.config import Config
+from buffer_tpu.data.preprocess import prepare_pair
+from buffer_tpu.eval import metrics
+from buffer_tpu.models.composite import BufferModel
+from buffer_tpu.pipeline.registration import register_pair
+from buffer_tpu.utils.logging import MetricLogger, Timer
+
+# DGR pass thresholds per evaluation (BASELINE.md)
+THRESHOLDS = {
+    "3DMatch": (0.3, 15.0),   # ThreeDMatch/test.py:264-265
+    "3DLoMatch": (0.3, 15.0),
+    "KITTI": (0.3, 1.0),      # KITTI/test.py:66-67
+    "ETH": (0.3, 2.0),        # generalization/ThreeD2ETH/test.py:66-67
+}
+
+
+def run_eval(
+    cfg: Config,
+    variables,
+    dataset: Iterable,
+    log_dir: Optional[str] = None,
+    max_pairs: Optional[int] = None,
+    seed: int = 0,
+    logger: Optional[MetricLogger] = None,
+) -> Dict[str, float]:
+    model = BufferModel(cfg)
+    fn = jax.jit(lambda v, i, k: register_pair(model, v, i, k))
+    logger = logger or MetricLogger(echo=True)
+    rte_th, rre_th = THRESHOLDS[cfg.data.dataset]
+
+    data_timer, model_timer = Timer(), Timer()
+    states = []
+    entries_by_scene: Dict[str, list] = {}
+    key = jax.random.PRNGKey(seed)
+    rs = np.random.RandomState(cfg.data.manual_seed)
+
+    n = len(dataset) if max_pairs is None else min(len(dataset), max_pairs)
+    for i in range(n):
+        data_timer.tic()
+        item = dataset[i]
+        inputs = prepare_pair(cfg, item["src_fds_pts"], item["tgt_fds_pts"],
+                              rs=rs, already_downsampled=True)
+        data_timer.toc()
+
+        model_timer.tic()
+        key, sub = jax.random.split(key)
+        res = jax.block_until_ready(fn(variables, inputs, sub))
+        model_timer.toc()
+
+        pose = np.asarray(res.pose, np.float64)
+        gt = np.asarray(item["relt_pose"], np.float64)
+        rte, rre = metrics.rte_rre(pose, gt)
+        ok = rte < rte_th and rre < rre_th
+        states.append([float(ok), rte, rre])
+        if not ok:
+            logger.log(event="fail", pair=i, rte=rte, rre=rre,
+                       mutual=int(res.num_mutual))
+
+        if log_dir is not None and "/" in item["src_id"]:
+            scene = item["src_id"].split("/")[-2]
+            sid = item["src_id"].split("/")[-1].split("_")[-1]
+            tid = item["tgt_id"].split("/")[-1].split("_")[-1]
+            entries_by_scene.setdefault(scene, []).append(
+                (sid, tid, np.linalg.inv(pose)))
+
+    states = np.array(states)
+    out = metrics.dgr_recall(states)
+    out["data_time"] = data_timer.avg
+    out["model_time"] = model_timer.avg
+    out["pairs"] = len(states)
+
+    if log_dir is not None:
+        for scene, entries in entries_by_scene.items():
+            metrics.write_trajectory(
+                os.path.join(log_dir, scene, "est.log"), entries)
+        if cfg.data.dataset in ("3DMatch", "3DLoMatch"):
+            rr = registration_recall(cfg, log_dir)
+            if rr is not None:
+                out["registration_recall"] = rr
+    logger.log(event="summary", dataset=cfg.data.dataset, **out)
+    return out
+
+
+def registration_recall(cfg: Config, log_dir: str) -> Optional[float]:
+    """Scene-averaged Redwood RR (ThreeDMatch/test.py:287-308)."""
+    if cfg.data.dataset == "3DMatch":
+        gtroot = os.path.join(cfg.data.root, "test", "3DMatch", "gt_result")
+    else:
+        gtroot = os.path.join(cfg.data.root, "test", "3DLoMatch")
+    if not os.path.isdir(gtroot):
+        return None
+    recalls = []
+    for scene in sorted(os.listdir(gtroot)):
+        gt_pairs, gt_traj = metrics.read_trajectory(
+            os.path.join(gtroot, scene, "gt.log"))
+        n_frag, cov = metrics.read_trajectory_info(
+            os.path.join(gtroot, scene, "gt.info"))
+        est_path = os.path.join(log_dir, scene, "est.log")
+        if not os.path.exists(est_path):
+            continue
+        est_pairs, est_traj = metrics.read_trajectory(est_path)
+        _, rec = metrics.evaluate_registration(
+            n_frag, est_traj, est_pairs.astype(float).astype(int),
+            gt_pairs.astype(float).astype(int), gt_traj, cov)
+        recalls.append(rec)
+    return float(np.mean(recalls)) if recalls else None

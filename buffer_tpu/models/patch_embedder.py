@@ -35,6 +35,7 @@ import flax.linen as nn
 from jax import lax
 
 from buffer_tpu.core import se3, gridmath
+from buffer_tpu.core.numerics import safe_norm, safe_normalize
 from buffer_tpu.nn.vn import MaskedBatchNorm
 from buffer_tpu.nn.cylindrical import CylindricalNet
 from buffer_tpu.ops import neighbors as nbr_ops
@@ -69,7 +70,7 @@ def axis_align(patches: jnp.ndarray, dataset: str,
         if z_axis is None:
             from buffer_tpu.ops.normals import cal_z_axis
             z = cal_z_axis(delta, ref_point=center)
-            z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
+            z = safe_normalize(z, axis=-1)
         else:
             z = z_axis
         target = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], patches.dtype),
@@ -77,8 +78,7 @@ def axis_align(patches: jnp.ndarray, dataset: str,
         R = se3.rodrigues_a_to_b(z, target)                     # [K,3,3]
         delta = delta @ R
         rand_axis = jnp.cross(z, target)
-        rand_axis = rand_axis / jnp.maximum(
-            jnp.linalg.norm(rand_axis, axis=-1, keepdims=True), 1e-8)
+        rand_axis = safe_normalize(rand_axis, axis=-1)
     else:  # KITTI / ETH: identity frame (patch_embedder.py:143-148)
         rand_axis = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], patches.dtype),
                                      center.shape)
@@ -160,8 +160,8 @@ class MiniSpinNet(nn.Module):
         w = MaskedBatchNorm(1, name="pool_bn2")(w, train=train)
         w = nn.relu(w)
         f = jnp.mean(x * w, axis=(1, 2))                         # [K,32]
-        desc = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
-        equi = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        desc = safe_normalize(f, axis=-1, eps=1e-12)
+        equi = safe_normalize(x, axis=-1, eps=1e-12)
         return desc, equi
 
 

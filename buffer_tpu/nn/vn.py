@@ -21,6 +21,8 @@ from typing import Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
+from buffer_tpu.core.numerics import safe_norm
+
 EPS = 1e-6  # reference models/vn_layers.py:10
 
 
@@ -113,7 +115,7 @@ class VNBatchNorm(nn.Module):
             # parameters must still exist for checkpoint-shape parity
             _ = bn(jnp.zeros_like(x[..., 0, :]), train=False)
             return x
-        norm = jnp.linalg.norm(x, axis=-2) + EPS  # [..., C]
+        norm = safe_norm(x, axis=-2) + EPS  # [..., C]
         norm_bn = bn(norm, mask=mask, train=train)
         return x / norm[..., None, :] * norm_bn[..., None, :]
 

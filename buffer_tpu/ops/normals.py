@@ -17,6 +17,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
+from buffer_tpu.core.numerics import safe_norm
 from buffer_tpu.ops.neighbors import radius_knn, gather_points
 
 EPS = 1e-12
@@ -50,7 +51,7 @@ def smallest_eigvec_sym3(A: jnp.ndarray) -> jnp.ndarray:
     norms = jnp.sum(M * M, axis=-1)                         # [..., 3] row norms
     best = jnp.argmax(norms, axis=-1)
     v = jnp.take_along_axis(M, best[..., None, None], axis=-2)[..., 0, :]
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    n = safe_norm(v, axis=-1, keepdims=True)
     # isotropic/degenerate fallback: +z
     fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype), v.shape)
     return jnp.where(n > 1e-10, v / jnp.maximum(n, EPS), fallback)

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from buffer_tpu.config import Config
+from buffer_tpu.core.numerics import safe_normalize
 from buffer_tpu.models.composite import BufferModel
 from buffer_tpu.models import patch_embedder as pe
 from buffer_tpu.ops.normals import estimate_normals
@@ -49,7 +50,7 @@ class RegistrationResult(NamedTuple):
 def orient_axes(axis: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Normalize and orient toward the origin-facing hemisphere
     (models/BUFFER.py:244-249: flip where sum(-axis * p) < 0)."""
-    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-8)
+    axis = safe_normalize(axis, axis=-1)
     flip = jnp.sum(-axis * pts, axis=-1, keepdims=True) < 0
     return jnp.where(flip, -axis, axis)
 

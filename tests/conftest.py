@@ -11,4 +11,11 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# The axon sitecustomize (TPU tunnel) overrides jax_platforms via config at
+# interpreter start; env vars alone don't win. Force CPU at config level.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert len(jax.devices()) == 8, (
+    "tests expect an 8-device virtual CPU mesh; got "
+    f"{jax.devices()}")
