@@ -150,6 +150,9 @@ class StaticConfig:
     normal_knn: int = 30
     # chunk size for tiled distance computations on device
     knn_chunk: int = 4096
+    # inference descriptor front-end: gather-free fused SPT (True) vs the
+    # reference-exact sampled SPT (False); training always uses sampled
+    fused_desc: bool = True
 
 
 @dataclass(frozen=True)

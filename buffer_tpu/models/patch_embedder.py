@@ -133,24 +133,34 @@ def spt(
 
 
 class MiniSpinNet(nn.Module):
-    """Descriptor network (patch_embedder.py:17-91).  Operates on
-    pre-extracted, axis-aligned, normalized SPT tensors; the full
-    patch pipeline lives in :meth:`embed` for convenience."""
+    """Descriptor network (patch_embedder.py:17-91).
+
+    Two front-ends feeding the same cylindrical CNN:
+
+    * ``inv_patches`` [K, A, nsample, 3] — the reference-exact sampled SPT
+      path (point MLP + max over the sampled slots);
+    * ``pooled``      [K, rad, ele, azi, 16] — a precomputed pooled map
+      from :func:`fused_point_features` (gather-free inference fast path).
+    """
 
     rad_n: int = 3
     azi_n: int = 20
     ele_n: int = 7
 
     @nn.compact
-    def __call__(self, inv_patches: jnp.ndarray, train: bool = False):
-        """inv_patches: [K, A, nsample, 3] SPT output.
-        Returns (desc [K,32], equi [K,ele_n,azi_n,32])."""
-        K = inv_patches.shape[0]
-        h = nn.Dense(16, name="pnt_conv")(inv_patches)           # [K,A,ns,16]
-        h = MaskedBatchNorm(16, name="pnt_bn")(h, train=train)
-        h = nn.relu(h)
-        h = jnp.max(h, axis=2)                                   # max over samples
-        h = h.reshape(K, self.rad_n, self.ele_n, self.azi_n, 16)
+    def __call__(self, inv_patches: jnp.ndarray = None,
+                 pooled: jnp.ndarray = None, train: bool = False):
+        """Returns (desc [K,32], equi [K,ele_n,azi_n,32])."""
+        if pooled is None:
+            K = inv_patches.shape[0]
+            h = nn.Dense(16, name="pnt_conv")(inv_patches)       # [K,A,ns,16]
+            h = MaskedBatchNorm(16, name="pnt_bn")(h, train=train)
+            h = nn.relu(h)
+            h = jnp.max(h, axis=2)                               # max over samples
+            h = h.reshape(K, self.rad_n, self.ele_n, self.azi_n, 16)
+        else:
+            K = pooled.shape[0]
+            h = pooled
         x = CylindricalNet(name="conv_net")(h, train=train)      # [K,ele,azi,32]
 
         w = nn.Dense(16, name="pool_conv1")(x)
@@ -163,6 +173,92 @@ class MiniSpinNet(nn.Module):
         desc = safe_normalize(f, axis=-1, eps=1e-12)
         equi = safe_normalize(x, axis=-1, eps=1e-12)
         return desc, equi
+
+
+def fused_point_features(
+    desc_params: dict,
+    desc_stats: dict,
+    key: jax.Array,
+    delta_x: jnp.ndarray,        # [K, S, 3] normalized patch coords
+    rad_n: int, azi_n: int, ele_n: int,
+    voxel_r: float, voxel_sample: int,
+    kpt_chunk: int = 128,
+) -> jnp.ndarray:
+    """Gather-free SPT + point-MLP + sample-max, for inference.
+
+    Exploits two linearities the reference's layout hides:
+
+    1. azimuth derotation (var_to_invar) is ``p @ R_i^T`` and the point MLP
+       is a bias-Dense — so ``relu(bn(W (R_i p)))`` folds into 20 weight
+       variants ``W_i = R_i^T @ W_eff`` (BN running stats folded into
+       W_eff/b_eff), one [K,S,3]x[3,20*16] matmul for ALL azimuth bins;
+    2. the subsequent reduction is a max over the anchor's sampled points —
+       a masked max over the in-radius set needs no gather at all.
+
+    The reference's "<= voxel_sample random points per anchor" cap is
+    emulated by Bernoulli thinning with shared per-point uniforms
+    (keep iff u_p <= voxel_sample / count_a: expectation matches the
+    uniform cap; the reference's zero-filled empty slots contribute
+    f0 = relu(bn_eff(0)) whenever count < voxel_sample — reproduced).
+
+    Returns the pooled map [K, rad_n, ele_n, azi_n, 16].
+    """
+    W = desc_params["pnt_conv"]["kernel"]        # [3, 16]
+    b = desc_params["pnt_conv"]["bias"]          # [16]
+    g = desc_params["pnt_bn"]["weight"]
+    beta = desc_params["pnt_bn"]["bias"]
+    mean = desc_stats["pnt_bn"]["mean"]
+    var = desc_stats["pnt_bn"]["var"]
+    scale = g / jnp.sqrt(var + 1e-5)
+    W_eff = W * scale[None, :]                   # fold BN into the Dense
+    b_eff = (b - mean) * scale + beta
+    R = jnp.asarray(gridmath.azimuth_derotations(azi_n), delta_x.dtype)
+    W_all = jnp.einsum("aji,jc->aic", R, W_eff)  # W_a = R_a^T @ W_eff [20,3,16]
+    f0 = jax.nn.relu(b_eff)                      # feature of a zero slot
+
+    anchors = jnp.asarray(
+        gridmath.get_voxel_coordinate(1.0, rad_n, azi_n, ele_n)
+        .reshape(-1, 3), delta_x.dtype)          # [A, 3], index = (r*ele+e)*azi+a
+    A = anchors.shape[0]
+    G = A // azi_n                               # anchor groups (rad*ele)
+    K, S, _ = delta_x.shape
+    r2 = voxel_r * voxel_r
+    u = jax.random.uniform(key, (S,))
+    a2 = jnp.sum(anchors * anchors, axis=-1)
+
+    def per_block(block):                        # [c, S, 3]
+        c = block.shape[0]
+        feats = jax.nn.relu(
+            jnp.einsum("ksd,adc->ksac", block, W_all) + b_eff)   # [c,S,20,16]
+        d2 = (jnp.sum(block * block, axis=-1)[:, None, :]
+              - 2.0 * jnp.einsum("ad,ksd->kas", anchors, block)
+              + a2[None, :, None])                               # [c,A,S]
+        in_ball = d2 <= r2
+        count = jnp.sum(in_ball, axis=-1)                        # [c,A]
+        thin = u[None, None, :] <= (voxel_sample /
+                                    jnp.maximum(count, 1)[..., None])
+        keep = in_ball & thin
+        keep = keep.reshape(c, G, azi_n, S)
+        fa = jnp.swapaxes(feats, 1, 2)                           # [c,20,S,16]
+        big = jnp.where(keep[..., None], fa[:, None], -BIGF)     # [c,G,20,S,16]
+        out = jnp.max(big, axis=3)                               # [c,G,20,16]
+        cnt = count.reshape(c, G, azi_n)
+        out = jnp.where((cnt < voxel_sample)[..., None],
+                        jnp.maximum(out, f0), out)
+        out = jnp.where((cnt == 0)[..., None], f0, out)
+        return out
+
+    if K <= kpt_chunk:
+        out = per_block(delta_x)
+    else:
+        pad = (-K) % kpt_chunk
+        dx = jnp.pad(delta_x, ((0, pad), (0, 0), (0, 0)))
+        out = lax.map(per_block, dx.reshape(-1, kpt_chunk, S, 3))
+        out = out.reshape(-1, G, azi_n, 16)[:K]
+    return out.reshape(K, rad_n, ele_n, azi_n, 16)
+
+
+BIGF = 1e9
 
 
 def so2_augment(key: jax.Array, patches: jnp.ndarray, rand_axis: jnp.ndarray):

@@ -58,16 +58,27 @@ def orient_axes(axis: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
 def describe_cloud(model: BufferModel, variables, cfg: Config, key,
                    raw, raw_mask, kpts, axes):
     """MiniSpinNet over one cloud's keypoints (models/patch_embedder.py:47-91
-    test path: patches -> axis-align -> /des_r -> SPT -> network)."""
+    test path: patches -> axis-align -> /des_r -> SPT -> network).
+
+    With ``cfg.static.fused_desc`` the SPT + point-MLP + sample-max front
+    runs gather-free (patch_embedder.fused_point_features); otherwise the
+    reference-exact sampled path."""
     p = cfg.patch
     k1, k2 = jax.random.split(key)
     patches = pe.extract_patches(k1, raw, raw_mask, kpts, p.des_r,
                                  p.num_points_per_patch)
     delta, rand_axis, R = pe.axis_align(patches, cfg.data.dataset, axes)
     delta = delta / p.des_r
-    inv = pe.spt(k2, delta, p.rad_n, p.azi_n, p.ele_n,
-                 p.delta / p.rad_n, p.voxel_sample)
-    desc, equi = model.Desc.apply(variables["Desc"], inv)
+    if cfg.static.fused_desc:
+        pooled = pe.fused_point_features(
+            variables["Desc"]["params"], variables["Desc"]["batch_stats"],
+            k2, delta, p.rad_n, p.azi_n, p.ele_n,
+            p.delta / p.rad_n, p.voxel_sample)
+        desc, equi = model.Desc.apply(variables["Desc"], pooled=pooled)
+    else:
+        inv = pe.spt(k2, delta, p.rad_n, p.azi_n, p.ele_n,
+                     p.delta / p.rad_n, p.voxel_sample)
+        desc, equi = model.Desc.apply(variables["Desc"], inv)
     return desc, equi, R
 
 
