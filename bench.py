@@ -42,29 +42,14 @@ def synthetic_pair(cfg, seed=0):
     raw = rs.uniform(-ext, ext, (n_raw, 3)).astype(np.float32)
     raw[:, 2] = (0.5 * np.sin(2.0 * raw[:, 0]) + 0.4 * np.cos(1.7 * raw[:, 1])
                  + 0.15 * np.sin(6.0 * raw[:, 0] * raw[:, 1]) + 2.0)
-    sds = voxel_subsample_np(raw, cfg.data.voxel_size_0).astype(np.float32)
-    rs.shuffle(sds)
+    import jax.numpy as jnp
+    from buffer_tpu.data.preprocess import prepare_pair
 
     R = np.asarray(se3.random_rotation(jax.random.PRNGKey(11), 3))
     t = np.array([0.4, -0.2, 0.3], np.float32)
     T = np.asarray(se3.integrate_trans(jnp.asarray(R), jnp.asarray(t)))
-
-    def pad(x, n):
-        o = np.zeros((n, 3), np.float32)
-        o[: min(len(x), n)] = x[:n]
-        m = np.zeros(n, bool)
-        m[: min(len(x), n)] = True
-        return o, m
-
-    r0, m0 = pad(raw, cfg.static.raw_points)
-    s0, n0 = pad(sds, cfg.static.points_l0)
-    r1, m1 = pad(raw @ T[:3, :3].T + T[:3, 3], cfg.static.raw_points)
-    s1, n1 = pad(sds @ T[:3, :3].T + T[:3, 3], cfg.static.points_l0)
-    import jax.numpy as jnp
-    inputs = PairInputs(jnp.asarray(np.stack([r0, r1])),
-                        jnp.asarray(np.stack([m0, m1])),
-                        jnp.asarray(np.stack([s0, s1])),
-                        jnp.asarray(np.stack([n0, n1])))
+    tgt = (raw @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+    inputs = prepare_pair(cfg, raw, tgt, rs=rs, already_downsampled=True)
     return inputs, T
 
 

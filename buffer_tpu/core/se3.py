@@ -188,6 +188,62 @@ def rotation_matrix_to_quaternion(R: jnp.ndarray) -> jnp.ndarray:
     return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
 
 
+def quaternion_to_rotation_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion [..., 4] (w,x,y,z) -> [..., 3, 3]."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                    2 * (x * z + w * y)], -1)
+    r1 = jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                    2 * (y * z - w * x)], -1)
+    r2 = jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                    1 - 2 * (x * x + y * y)], -1)
+    return jnp.stack([r0, r1, r2], -2)
+
+
+def kabsch_quat(A: jnp.ndarray, B: jnp.ndarray,
+                weights: jnp.ndarray | None = None,
+                eps: float = 1e-6, iters: int = 60) -> jnp.ndarray:
+    """Weighted rigid alignment via Horn's closed-form quaternion method —
+    the TPU-fast alternative to the SVD :func:`kabsch` (same result up to
+    degenerate inputs): the optimal rotation is the dominant eigenvector of
+    the symmetric 4x4 Davenport matrix, obtained here by shifted power
+    iteration (pure batched elementwise/matmul ops; no LAPACK-style inner
+    loops, unlike jnp.linalg.svd on [H,3,3]).
+
+    A, B: [bs, N, 3]; weights: [bs, N].  Returns [bs, 4, 4] with
+    ``B ~= R @ A + t``.
+    """
+    if weights is None:
+        weights = jnp.ones(A.shape[:-1], dtype=A.dtype)
+    w = weights[..., None]
+    wsum = jnp.sum(weights, axis=-1, keepdims=True)[..., None] + eps
+    cA = jnp.sum(A * w, axis=-2, keepdims=True) / wsum
+    cB = jnp.sum(B * w, axis=-2, keepdims=True) / wsum
+    H = jnp.swapaxes((A - cA) * w, -1, -2) @ (B - cB)      # [bs, 3, 3]
+
+    Sxx, Sxy, Sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    Syx, Syy, Syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    Szx, Szy, Szz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    K = jnp.stack([
+        jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], -1),
+        jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], -1),
+        jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy], -1),
+        jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz], -1),
+    ], -2)                                                  # [bs, 4, 4]
+    # shift so the dominant eigenvalue is the max-lambda one and positive
+    shift = 2.0 * jnp.sqrt(jnp.sum(H * H, axis=(-2, -1)) + eps)
+    Ks = K + shift[..., None, None] * jnp.eye(4, dtype=A.dtype)
+
+    q = jnp.ones(A.shape[:-2] + (4,), dtype=A.dtype)
+    for _ in range(iters):
+        q = jnp.einsum("...ij,...j->...i", Ks, q)
+        q = q / jnp.maximum(
+            jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True)), eps)
+    R = quaternion_to_rotation_matrix(q)
+    t = jnp.swapaxes(cB, -1, -2) - R @ jnp.swapaxes(cA, -1, -2)
+    return integrate_trans(R, t[..., 0])
+
+
 def kabsch(A: jnp.ndarray, B: jnp.ndarray, weights: jnp.ndarray | None = None,
            eps: float = 1e-6) -> jnp.ndarray:
     """Weighted rigid alignment (Kabsch / weighted SVD), batched.

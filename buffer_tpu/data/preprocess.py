@@ -70,9 +70,27 @@ def prepare_pair(
     r1, m1 = pad_cloud(t_fds, st.raw_points, rs)
     s0, n0 = pad_cloud(s_sds, st.points_l0, rs)
     s1, n1 = pad_cloud(t_sds, st.points_l0, rs)
+
+    # deterministic pyramid levels via the native grid subsampler (kills a
+    # pathologically slow 30k-element device sort; see pipeline/pyramid.py)
+    def levels(sds):
+        l1 = voxel_subsample_host(sds, 2 * cfg.data.voxel_size_0)
+        l2 = voxel_subsample_host(l1, 4 * cfg.data.voxel_size_0)
+        return l1, l2
+    sl1, sl2 = levels(s_sds)
+    tl1, tl2 = levels(t_sds)
+    a0, am0 = pad_cloud(sl1, st.points_l1, rs)
+    a1, am1 = pad_cloud(tl1, st.points_l1, rs)
+    b0, bm0 = pad_cloud(sl2, st.points_l2, rs)
+    b1, bm1 = pad_cloud(tl2, st.points_l2, rs)
+
     return PairInputs(
         raw=jnp.asarray(np.stack([r0, r1])),
         raw_mask=jnp.asarray(np.stack([m0, m1])),
         sds=jnp.asarray(np.stack([s0, s1])),
         sds_mask=jnp.asarray(np.stack([n0, n1])),
+        lvl1=jnp.asarray(np.stack([a0, a1])),
+        lvl1_mask=jnp.asarray(np.stack([am0, am1])),
+        lvl2=jnp.asarray(np.stack([b0, b1])),
+        lvl2_mask=jnp.asarray(np.stack([bm0, bm1])),
     )

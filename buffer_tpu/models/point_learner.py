@@ -19,7 +19,9 @@ Differences from the reference are purely representational:
   reference :328-349) -> ``neighbor_valid`` masks with *identical* zero-fill
   arithmetic (unmasked mean over K keeps the reference's shadow-counting
   denominator);
-* torch ``[N, C*3]`` flattened features -> ``[B, N, 3, C]`` VN layout.
+* features travel in the torch-identical FLAT layout ``[B, N, C*3]``
+  (channel-major), which keeps the TPU lane dimension wide; channel mixing
+  happens via Kronecker matmuls (buffer_tpu.nn.vn flat ops).
 
 Parameter names mirror the torch attribute paths for .pth conversion.
 """
@@ -33,7 +35,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from buffer_tpu.nn.vn import (
-    VNLinearLeakyReLU, VNStdFeature, masked_instance_norm, mean_pool,
+    VNLinearLeakyReLU, VNLinearLeakyReLUFlat, VNStdFeature,
+    masked_instance_norm, mean_pool, unflatten_vn,
 )
 
 
@@ -66,30 +69,35 @@ def gather_neighborhood(
 ):
     """Gather neighbor features and scale-normalized centered offsets.
 
-    Returns (neighb_x [B,Nq,K,3,C], eqv [B,Nq,K,3]).  Shadow slots get zero
+    Features travel FLAT ([..., C*3], torch's channel-major order) so the
+    gathered rows keep a wide lane dimension.  Returns
+    (neighb_x [B,Nq,K,C*3], eqv [B,Nq,K,3]).  Shadow slots get zero
     features and zero offsets (the reference replaces the shadow point by
     the query point before centering — same thing;
     models/point_learner.py:328-343)."""
-    nbr_xyz = _bgather(s_pts, idx)                       # [B,Nq,K,3]
+    # one packed gather for coordinates + features (TPU gathers cost per
+    # row, so two half-width gathers are twice the price of one)
+    packed = jnp.concatenate([s_pts, s_feat], axis=-1)   # [B,Ns,3+C*3]
+    g = _bgather(packed, idx)                            # [B,Nq,K,3+C*3]
+    nbr_xyz = g[..., :3]
     eqv = (nbr_xyz - q_pts[:, :, None, :]) / scale
     eqv = jnp.where(valid[..., None], eqv, 0.0)
-    nbr_f = _bgather(s_feat, idx)                        # [B,Nq,K,3,C]
-    nbr_f = jnp.where(valid[..., None, None], nbr_f, 0.0)
+    nbr_f = jnp.where(valid[..., None], g[..., 3:], 0.0)
     return nbr_f, eqv
 
 
 def _vnn_input(neighb_x: jnp.ndarray, eqv: jnp.ndarray, mode: str) -> jnp.ndarray:
-    """Assemble the VN conv input channels (modes '1' and '6' are the only
-    live ones; models/point_learner.py:354-394)."""
-    e = eqv[..., None]                                   # [B,N,K,3,1]
+    """Assemble the flat VN conv input channels (modes '1' and '6' are the
+    only live ones; models/point_learner.py:354-394).  Channel-major flat
+    concat matches the torch ordering (feat..., xyz, cross, mean)."""
     if mode == "1":
-        return jnp.concatenate([neighb_x, e], axis=-1)
+        return jnp.concatenate([neighb_x, eqv], axis=-1)
     if mode == "6":
         # cross product of the (single-channel) feature with the offset
-        cros = jnp.cross(neighb_x[..., 0], eqv)[..., None]
+        cros = jnp.cross(neighb_x[..., :3], eqv)
         mean = jnp.mean(eqv, axis=2, keepdims=True)      # over K, shadows count
-        mean = jnp.broadcast_to(mean, eqv.shape)[..., None]
-        return jnp.concatenate([neighb_x, e, cros, mean], axis=-1)
+        mean = jnp.broadcast_to(mean, eqv.shape)
+        return jnp.concatenate([neighb_x, eqv, cros, mean], axis=-1)
     raise ValueError(f"unsupported VNN mode {mode!r}")
 
 
@@ -106,8 +114,8 @@ class VNNConvBlock(nn.Module):
         neighb_x, eqv = gather_neighborhood(s_pts, x, q_pts, idx, valid, self.scale)
         inp = _vnn_input(neighb_x, eqv, self.mode)
         bn_mask = jnp.broadcast_to(q_mask[:, :, None], idx.shape)
-        h = VNLinearLeakyReLU(self.out_dim, name="conv")(inp, mask=bn_mask, train=train)
-        return mean_pool(h, axis=2)                      # [B,Nq,3,out]
+        return VNLinearLeakyReLUFlat(self.out_dim, reduce_k=True, name="conv")(
+            inp, mask=bn_mask, train=train)              # [B,Nq,out*3]
 
 
 class VNNResnetBlock(nn.Module):
@@ -124,18 +132,19 @@ class VNNResnetBlock(nn.Module):
         neighb_x, eqv = gather_neighborhood(s_pts, x, q_pts, idx, valid, self.scale)
         inp = _vnn_input(neighb_x, eqv, "1")
         bn_mask = jnp.broadcast_to(q_mask[:, :, None], idx.shape)
-        h = VNLinearLeakyReLU(self.out_dim // 2, name="conv")(inp, mask=bn_mask, train=train)
-        h = mean_pool(h, axis=2)
-        h = VNLinearLeakyReLU(self.out_dim, name="unary")(h, mask=q_mask, train=train)
+        h = VNLinearLeakyReLUFlat(self.out_dim // 2, reduce_k=True, name="conv")(
+            inp, mask=bn_mask, train=train)
+        h = VNLinearLeakyReLUFlat(self.out_dim, name="unary")(h, mask=q_mask, train=train)
 
         if self.strided:
             # max over gathered features; the reference's appended zero row
-            # means shadow slots clamp the max at 0 (point_learner.py:650-666)
-            nbr_f = jnp.where(valid[..., None, None], _bgather(x, idx), 0.0)
-            shortcut = jnp.max(nbr_f, axis=2)
+            # means shadow slots clamp the max at 0 (point_learner.py:650-666).
+            # neighb_x is exactly the gathered (zero-masked) feature table —
+            # no second gather needed.
+            shortcut = jnp.max(neighb_x, axis=2)
         else:
             shortcut = x
-        shortcut = VNLinearLeakyReLU(self.out_dim, name="unary_shortcut")(
+        shortcut = VNLinearLeakyReLUFlat(self.out_dim, name="unary_shortcut")(
             shortcut, mask=q_mask, train=train)
         return h + shortcut
 
@@ -148,14 +157,14 @@ class VNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train=False):
-        return VNLinearLeakyReLU(self.out_dim, name="mlp")(x, mask=mask, train=train)
+        return VNLinearLeakyReLUFlat(self.out_dim, name="mlp")(x, mask=mask, train=train)
 
 
 def nearest_upsample(x: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """closest_pool: copy the nearest coarse feature; shadow -> zeros
-    (models/point_learner.py:635-647)."""
+    """closest_pool: copy the nearest coarse feature (flat rows);
+    shadow -> zeros (models/point_learner.py:635-647)."""
     up = _bgather(x, idx)
-    return jnp.where(valid[..., None, None], up, 0.0)
+    return jnp.where(valid[..., None], up, 0.0)
 
 
 class InvariantHead(nn.Module):
@@ -170,6 +179,9 @@ class InvariantHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train=False):
+        # x arrives flat [B, N, C*3]; the invariant-frame head is small
+        # (per-point, no neighbor axis), so unflatten locally
+        x = unflatten_vn(x)
         h = VNStdFeature(self.dim, name="std")(x, mask=mask, train=train)  # [B,N,3C]
         h = nn.Dense(self.dim * 2, name="conv1")(h)
         h = masked_instance_norm(h, mask, axes=(0, 1))
@@ -209,7 +221,7 @@ class EFCNN(nn.Module, _DecoderMixin):
 
     @nn.compact
     def __call__(self, pyr: Pyramid, train: bool = False):
-        f = pyr.features[..., None]                     # [B,N0,3,1]
+        f = pyr.features                                # [B,N0,3] = flat C=1
         x0 = VNNConvBlock(self.first_dim, "6", self.scale, name="encoder_blocks_0")(
             f, pyr.points[0], pyr.masks[0], pyr.points[0],
             pyr.neighbors[0], pyr.neighbor_valid[0], train)
@@ -236,11 +248,11 @@ class EFCNN(nn.Module, _DecoderMixin):
         x = self._decode(bottle, skips, pyr, train)
 
         # axis head: two VN MLPs down to one channel (point_learner.py:159-162)
-        h = VNLinearLeakyReLU(self.first_dim // 2, name="fc_layer_0")(
+        h = VNLinearLeakyReLUFlat(self.first_dim // 2, name="fc_layer_0")(
             x, mask=pyr.masks[0], train=train)
-        h = VNLinearLeakyReLU(1, name="fc_layer_1")(
+        h = VNLinearLeakyReLUFlat(1, name="fc_layer_1")(
             h, mask=pyr.masks[0], train=train)
-        axis = h[..., 0]                                 # [B,N0,3]
+        axis = h                                         # [B,N0,3] (flat C=1)
         eps = InvariantHead(self.first_dim, "sigmoid", name="inv_layer")(
             x, pyr.masks[0], train)
         return axis, eps, {"bottle": bottle, "skips": skips}

@@ -181,6 +181,142 @@ class VNStdFeature(nn.Module):
         return std.reshape(*std.shape[:-2], std.shape[-1] * std.shape[-2])
 
 
+# ---------------------------------------------------------------------------
+# Flat-layout VN ops
+#
+# The [..., 3, C] layout leaves the tensor's minor two dims at (3, C<=40) —
+# a (8, 128) TPU tile is then ~3% utilized and every elementwise op pays
+# ~30x memory traffic.  The flat layout [..., C*3] (torch's own channel-
+# major flattening, flat index = c*3 + component) puts up to 120 elements
+# in the lane dim.  Channel mixing becomes x @ (W (x) I3) (a Kronecker
+# matmul) and the per-channel vector-norm reductions become 0/1 pooling
+# matmuls — both MXU-friendly, no transposes.  Parameter trees are
+# IDENTICAL to the [..., 3, C] modules (map_to_feat/kernel etc.), so
+# checkpoints convert the same way.
+# ---------------------------------------------------------------------------
+
+
+class _Kernel(nn.Module):
+    """Bare kernel parameter holder producing the same ``<name>/kernel``
+    param path as nn.Dense."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+def _kron3(W: jnp.ndarray) -> jnp.ndarray:
+    """[Cin, Cout] -> [Cin*3, Cout*3] acting per vector component."""
+    cin, cout = W.shape
+    eye = jnp.eye(3, dtype=W.dtype)
+    return (W[:, None, :, None] * eye[None, :, None, :]).reshape(cin * 3, cout * 3)
+
+
+def _pool3(c: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[C*3, C] 0/1 matrix summing the 3 components of each channel."""
+    eye = jnp.eye(c, dtype=dtype)
+    return jnp.repeat(eye, 3, axis=0)
+
+
+def _expand3(v: jnp.ndarray) -> jnp.ndarray:
+    """[..., C] -> [..., C*3] repeating each channel 3x (flat broadcast)."""
+    return jnp.repeat(v, 3, axis=-1)
+
+
+class VNBatchNormFlat(nn.Module):
+    """VNBatchNorm on flat tensors; param path ``<name>/bn`` matches
+    :class:`VNBatchNorm`.  ``fold_eval=True`` returns the per-channel
+    affine (a, b) such that eval-mode output = p * (a + b / norm) — used by
+    the fused Pallas path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, p: jnp.ndarray, mask=None, train: bool = False,
+                 fold_eval: bool = False):
+        bn = MaskedBatchNorm(self.features, name="bn")
+        if fold_eval:
+            # touch the bn once so params exist in both paths
+            _ = bn(jnp.zeros((1, self.features), p.dtype), train=False)
+            if self.features == 1:
+                return jnp.ones((1,), p.dtype), jnp.zeros((1,), p.dtype)
+            stats = self.variables["batch_stats"]["bn"]
+            params = self.variables["params"]["bn"]
+            a = params["weight"] / jnp.sqrt(stats["var"] + 1e-5)
+            b = params["bias"] - stats["mean"] * a
+            return a.astype(p.dtype), b.astype(p.dtype)
+        pool = _pool3(self.features, p.dtype)
+        norm_sq = (p * p) @ pool                               # [..., C]
+        norm = jnp.sqrt(jnp.maximum(norm_sq, 1e-24)) + EPS
+        if self.features == 1:
+            _ = bn(jnp.zeros_like(norm), train=False)
+            return p
+        norm_bn = bn(norm, mask=mask, train=train)
+        return p * _expand3(norm_bn / norm)
+
+
+class VNLinearLeakyReLUFlat(nn.Module):
+    """VNLinearLeakyReLU on flat [..., Cin*3] tensors; same semantics and
+    parameter tree as :class:`VNLinearLeakyReLU`.
+
+    ``reduce_k=True`` fuses the neighbor mean-pool (axis=2 of a
+    [B, N, K, Cin*3] input) into the op.  In eval on TPU the whole block
+    runs as one Pallas kernel (buffer_tpu.kernels.vnn_pallas) with the BN
+    running stats folded to an affine factor; training and CPU use the
+    XLA composition below.
+    """
+
+    features: int
+    negative_slope: float = 0.2
+    reduce_k: bool = False
+    impl: str = "auto"   # 'auto' | 'fused' | 'xla'
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        import jax
+        cin = x.shape[-1] // 3
+        cout = self.features
+        Wf = _Kernel((cin, cout), name="map_to_feat")()
+        Wd = _Kernel((cin, cout), name="map_to_dir")()
+        bn = VNBatchNormFlat(cout, name="batchnorm")
+
+        use_fused = ((not train) and not self.is_initializing()
+                     and self.impl != "xla"
+                     and (self.impl == "fused"
+                          or jax.default_backend() == "tpu"))
+        if use_fused:
+            from buffer_tpu.kernels.vnn_pallas import vnn_block_fused
+            a, b = bn(x, fold_eval=True)
+            if self.reduce_k:
+                B, N, K, C3 = x.shape
+                out = vnn_block_fused(x.reshape(B * N, K, C3), Wf, Wd, a, b,
+                                      self.negative_slope)
+                return out.reshape(B, N, cout * 3)
+            lead = x.shape[:-1]
+            out = vnn_block_fused(x.reshape(-1, 1, x.shape[-1]), Wf, Wd, a, b,
+                                  self.negative_slope)
+            return out.reshape(*lead, cout * 3)
+
+        pool = _pool3(cout, x.dtype)
+        p = x @ _kron3(Wf)                                     # [..., Cout*3]
+        p = bn(p, mask=mask, train=train)
+        d = x @ _kron3(Wd)
+        dot = (p * d) @ pool                                   # [..., Cout]
+        d_norm_sq = (d * d) @ pool
+        coef = dot / (d_norm_sq + EPS)
+        pos = (dot >= 0).astype(p.dtype)
+        reflected = p - _expand3(coef) * d
+        slope = self.negative_slope
+        out = slope * p + (1.0 - slope) * (
+            _expand3(pos) * p + _expand3(1.0 - pos) * reflected)
+        if self.reduce_k:
+            out = jnp.mean(out, axis=2)
+        return out
+
+
 def masked_instance_norm(x: jnp.ndarray, mask: jnp.ndarray,
                          axes: tuple, eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm with statistics over ``axes`` restricted to ``mask``.

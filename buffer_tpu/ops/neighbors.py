@@ -215,8 +215,24 @@ def ball_sample(
     in_ball = (d2 <= radius * radius) & support_valid[None, :]
     prio = jax.random.uniform(key, (S,), dtype=jnp.float32)
     score = jnp.where(in_ball, prio[None, :], -BIG)
-    vals, idx = lax.approx_max_k(score, k, recall_target=recall_target)
-    return idx.astype(jnp.int32), vals > -BIG / 2
+    # two-stage stratified sampling instead of one big top-k (whose final
+    # aggregation sorts ~16k candidates/row): stage 1 takes the best
+    # random-priority candidate in each of 2k contiguous segments (a pure
+    # max-reduce — the support order is random, so segments are random
+    # subsets), stage 2 top-k's the 2k segment winners.
+    NS = max(k * 2, min(2048, S))
+    if S % NS != 0:
+        score = lax.optimization_barrier(score)
+        vals, idx = lax.approx_max_k(score, k, recall_target=recall_target)
+        return idx.astype(jnp.int32), vals > -BIG / 2
+    L = S // NS
+    seg = score.reshape(-1, NS, L)
+    vmax = jnp.max(seg, axis=-1)                      # [Q, NS]
+    amax = jnp.argmax(seg, axis=-1)                   # [Q, NS]
+    cand_idx = (jnp.arange(NS, dtype=jnp.int32) * L)[None, :] + amax.astype(jnp.int32)
+    v2, i2 = lax.top_k(vmax, k)                       # sort of NS per row
+    idx = jnp.take_along_axis(cand_idx, i2, axis=1)
+    return idx, v2 > -BIG / 2
 
 
 def ball_sample_chunked(

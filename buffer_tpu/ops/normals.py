@@ -72,6 +72,19 @@ def estimate_normals(
     """
     _, idx, nvalid = radius_knn(points, points, valid, k=knn, radius=None,
                                 chunk=chunk)
+    return normals_from_neighbors(points, valid, idx, nvalid,
+                                  viewpoint=viewpoint)
+
+
+def normals_from_neighbors(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    idx: jnp.ndarray,
+    nvalid: jnp.ndarray,
+    viewpoint: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """PCA normals from precomputed kNN tables (lets callers share one
+    neighbor pass between normals and the level-0 conv lists)."""
     nbrs = gather_points(points, idx)                 # [N, k, 3]
     w = nvalid.astype(points.dtype)[..., None]
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)

@@ -22,6 +22,7 @@ def farthest_point_sample(
     points: jnp.ndarray,
     eligible: jnp.ndarray,
     num_samples: int,
+    method: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FPS over the eligible subset.
 
@@ -30,9 +31,19 @@ def farthest_point_sample(
     CUDA kernel starts from index 0 of its filtered array).  If fewer than
     ``num_samples`` points are eligible, the remaining slots repeat
     already-selected points and are marked invalid.
+
+    ``method='auto'`` uses the all-in-VMEM Pallas kernel on TPU
+    (buffer_tpu.kernels.fps_pallas) and the XLA fori_loop elsewhere.
     """
     N = points.shape[0]
     n_eligible = jnp.sum(eligible.astype(jnp.int32))
+    valid_out = jnp.arange(num_samples) < n_eligible
+    if method == "auto":
+        import jax as _jax
+        method = "pallas" if _jax.default_backend() == "tpu" else "xla"
+    if method == "pallas":
+        from buffer_tpu.kernels.fps_pallas import fps_pallas
+        return fps_pallas(points, eligible, num_samples), valid_out
     first = jnp.argmax(eligible).astype(jnp.int32)
 
     # min squared distance to the selected set; ineligible points sit at -1
@@ -49,5 +60,4 @@ def farthest_point_sample(
 
     idxs0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(first)
     _, idxs = lax.fori_loop(1, num_samples, body, (init_mind, idxs0))
-    valid = jnp.arange(num_samples) < n_eligible
-    return idxs, valid
+    return idxs, valid_out

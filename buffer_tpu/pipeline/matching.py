@@ -52,6 +52,30 @@ def pose_hypotheses(ss_kpts: jnp.ndarray, tt_kpts: jnp.ndarray,
     return R, t
 
 
+def warp_sqdist(R: jnp.ndarray, t: jnp.ndarray,
+                src: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+    """``d2[h, m] = |R_h src_m + t_h - tgt_m|^2`` for all hypothesis/match
+    pairs WITHOUT materializing the [H, M, 3] warp tensor (whose 3-lane
+    minor dim the TPU pads 42x).  Expansion (|R p| = |p|):
+
+        d2 = |p|^2 + |t|^2 + |q|^2 - 2 t.q + 2 t.(R p) - 2 <R, q p^T>
+
+    where the last two terms are [H,3]x[3,M] and [H,9]x[9,M] matmuls.
+    R: [H,3,3]; t: [H,3]; src: [M,3]; tgt: [M,3]."""
+    p2 = jnp.sum(src * src, -1)                       # [M]
+    q2 = jnp.sum(tgt * tgt, -1)                       # [M]
+    t2 = jnp.sum(t * t, -1)                           # [H]
+    tq = t @ tgt.T                                    # [H,M]
+    a = jnp.einsum("hi,hij->hj", t, R)                # [H,3]
+    t_Rp = a @ src.T                                  # [H,M]
+    Rf = R.reshape(-1, 9)                             # [H,9]
+    qp = (tgt[:, :, None] * src[:, None, :]).reshape(-1, 9)  # [M,9]
+    q_Rp = Rf @ qp.T                                  # [H,M]
+    d2 = (p2[None, :] + t2[:, None] + q2[None, :]
+          - 2.0 * tq + 2.0 * t_Rp - 2.0 * q_Rp)
+    return jnp.maximum(d2, 0.0)
+
+
 def vote_hypotheses(ss_kpts: jnp.ndarray, tt_kpts: jnp.ndarray,
                     R: jnp.ndarray, t: jnp.ndarray, mutual: jnp.ndarray,
                     azi_n: int, inlier_th: float
@@ -62,10 +86,9 @@ def vote_hypotheses(ss_kpts: jnp.ndarray, tt_kpts: jnp.ndarray,
     ``|s_kpt| * pi/azi_n * inlier_th`` (the azimuth-bin lever arm).
 
     Returns (best_idx scalar int, inlier mask [M] of the winner)."""
-    warped = jnp.einsum("hij,mj->hmi", R, ss_kpts) + t[:, None, :]
-    diffs = jnp.linalg.norm(warped - tt_kpts[None], axis=-1)   # [H, M]
+    d2 = warp_sqdist(R, t, ss_kpts, tt_kpts)                   # [H, M]
     thr = jnp.linalg.norm(ss_kpts, axis=-1) * (jnp.pi / azi_n) * inlier_th
-    sign = (diffs < thr[None, :]) & mutual[None, :]
+    sign = (d2 < (thr * thr)[None, :]) & mutual[None, :]
     counts = jnp.where(mutual, jnp.sum(sign, axis=-1), -1)
     best = jnp.argmax(counts)
     return best, sign[best]

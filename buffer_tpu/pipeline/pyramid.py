@@ -20,11 +20,47 @@ import jax.numpy as jnp
 from buffer_tpu.config import Config
 from buffer_tpu.models.point_learner import Pyramid
 from buffer_tpu.ops.neighbors import radius_knn, nearest
+from buffer_tpu.ops.normals import normals_from_neighbors
 from buffer_tpu.ops.subsample import voxel_subsample
 
 
+def build_pyramid_and_normals(cfg: Config, points: jnp.ndarray,
+                              masks: jnp.ndarray, levels=None) -> Pyramid:
+    """Fused pyramid + input-normal construction.
+
+    The level-0 conv neighbor list and the kNN for PCA normals query the
+    same 30k x 30k distance field; one unrestricted kNN pass with
+    k = max(normal_knn, cap_0) serves both (results sorted ascending, so
+    the conv list is the radius-masked prefix).
+    """
+    st = cfg.static
+    r0 = cfg.data.voxel_size_0 * cfg.point.conv_radius
+    k0 = max(st.normal_knn, st.neighbor_caps[0])
+
+    def per_cloud(pts0, m0):
+        d2, idx, v = radius_knn(pts0, pts0, m0, k=k0, radius=None,
+                                chunk=st.knn_chunk, query_chunk=st.knn_chunk)
+        n = normals_from_neighbors(pts0, m0, idx[:, : st.normal_knn],
+                                   v[:, : st.normal_knn])
+        kc = st.neighbor_caps[0]
+        conv_idx = idx[:, :kc]
+        conv_valid = v[:, :kc] & (d2[:, :kc] <= r0 * r0) & m0[:, None]
+        return n, conv_idx, conv_valid
+
+    normals, idx0, valid0 = jax.vmap(per_cloud)(points, masks)
+    pyr = _build_pyramid(cfg, points, masks, normals, l0=(idx0, valid0),
+                         levels=levels)
+    return pyr
+
+
 def build_pyramid(cfg: Config, points: jnp.ndarray, masks: jnp.ndarray,
-                  features: jnp.ndarray) -> Pyramid:
+                  features: jnp.ndarray, levels=None) -> Pyramid:
+    return _build_pyramid(cfg, points, masks, features, l0=None,
+                          levels=levels)
+
+
+def _build_pyramid(cfg: Config, points: jnp.ndarray, masks: jnp.ndarray,
+                   features: jnp.ndarray, l0=None, levels=None) -> Pyramid:
     """points: [B, N0, 3]; masks: [B, N0]; features: [B, N0, 3] normals.
 
     Returns a 3-level :class:`Pyramid` (the reference architecture has two
@@ -36,16 +72,24 @@ def build_pyramid(cfg: Config, points: jnp.ndarray, masks: jnp.ndarray,
     kp = st.pool_caps
     chunk = st.knn_chunk
 
-    def per_cloud(pts0, m0):
-        pts, msk = [pts0], [m0]
-        for lvl in range(2):
-            dl = (2 ** (lvl + 1)) * cfg.data.voxel_size_0
-            p, m = voxel_subsample(pts[lvl], msk[lvl], dl, sizes[lvl + 1])
-            pts.append(p)
-            msk.append(m)
+    def per_cloud(pts0, m0, l0_idx=None, l0_valid=None, lv=None):
+        if lv is not None:
+            pts = [pts0, lv[0], lv[2]]
+            msk = [m0, lv[1], lv[3]]
+        else:
+            pts, msk = [pts0], [m0]
+            for lvl in range(2):
+                dl = (2 ** (lvl + 1)) * cfg.data.voxel_size_0
+                p, m = voxel_subsample(pts[lvl], msk[lvl], dl, sizes[lvl + 1])
+                pts.append(p)
+                msk.append(m)
 
         neighbors, neighbor_valid = [], []
         for lvl in range(3):
+            if lvl == 0 and l0_idx is not None:
+                neighbors.append(l0_idx)
+                neighbor_valid.append(l0_valid)
+                continue
             r = r0 * (2 ** lvl)
             _, idx, v = radius_knn(pts[lvl], pts[lvl], msk[lvl], k=kn[lvl],
                                    radius=r, chunk=chunk, query_chunk=chunk)
@@ -69,5 +113,14 @@ def build_pyramid(cfg: Config, points: jnp.ndarray, masks: jnp.ndarray,
         return (tuple(pts), tuple(msk), tuple(neighbors), tuple(neighbor_valid),
                 tuple(pools), tuple(pool_valid), tuple(ups), tuple(up_valid))
 
-    out = jax.vmap(per_cloud)(points, masks)
+    if l0 is not None and levels is not None:
+        out = jax.vmap(lambda p, m, i, v, a, b, c, d: per_cloud(
+            p, m, i, v, (a, b, c, d)))(points, masks, l0[0], l0[1], *levels)
+    elif l0 is not None:
+        out = jax.vmap(per_cloud)(points, masks, l0[0], l0[1])
+    elif levels is not None:
+        out = jax.vmap(lambda p, m, a, b, c, d: per_cloud(
+            p, m, None, None, (a, b, c, d)))(points, masks, *levels)
+    else:
+        out = jax.vmap(per_cloud)(points, masks)
     return Pyramid(*out, features=features)

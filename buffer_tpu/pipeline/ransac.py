@@ -44,7 +44,7 @@ def ransac_pose(
     a = src[idx]                                            # [H,3,3]
     b = tgt[idx]
 
-    T = se3.kabsch(a, b)                                    # [H,4,4]
+    T = se3.kabsch_quat(a, b)                               # [H,4,4]
     R, t = T[:, :3, :3], T[:, :3, 3]
 
     # checker 1: edge-length similarity (both ratios > similar_th)
@@ -56,9 +56,11 @@ def ransac_pose(
     wa = jnp.einsum("hij,hmj->hmi", R, a) + t[:, None, :]
     ok &= jnp.all(jnp.linalg.norm(wa - b, axis=-1) < dist_th, axis=-1)
 
-    # score: inliers over the whole candidate set
-    warped = jnp.einsum("hij,mj->hmi", R, src) + t[:, None, :]
-    inl = (jnp.linalg.norm(warped - tgt, axis=-1) < dist_th) & valid[None, :]
+    # score: inliers over the whole candidate set (matmul-form warp
+    # distances; see matching.warp_sqdist)
+    from buffer_tpu.pipeline.matching import warp_sqdist
+    d2 = warp_sqdist(R, t, src, tgt)
+    inl = (d2 < dist_th * dist_th) & valid[None, :]
     counts = jnp.where(ok, jnp.sum(inl, axis=-1), -1)
     best = jnp.argmax(counts)
 
@@ -69,7 +71,7 @@ def ransac_pose(
 
     if refit:
         w = inliers.astype(src.dtype)
-        refit_T = se3.kabsch(src[None], tgt[None], w[None])[0]
+        refit_T = se3.kabsch_quat(src[None], tgt[None], w[None])[0]
         pose = jnp.where(jnp.sum(inliers) >= 3, refit_T, pose)
 
     eye = jnp.eye(4, dtype=src.dtype)

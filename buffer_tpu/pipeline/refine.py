@@ -32,7 +32,7 @@ def post_refinement(
         inl = (d < inlier_threshold) & valid
         w = (1.0 / (1.0 + (d / inlier_threshold) ** 2)) * inl
         ok = jnp.sum(inl) >= 3
-        T_new = se3.kabsch(src[None], tgt[None], w[None])[0]
+        T_new = se3.kabsch_quat(src[None], tgt[None], w[None])[0]
         return jnp.where(ok, T_new, T), None
 
     pose, _ = lax.scan(body, pose, None, length=iters)

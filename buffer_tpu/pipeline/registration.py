@@ -21,9 +21,8 @@ from buffer_tpu.config import Config
 from buffer_tpu.core.numerics import safe_normalize
 from buffer_tpu.models.composite import BufferModel
 from buffer_tpu.models import patch_embedder as pe
-from buffer_tpu.ops.normals import estimate_normals
 from buffer_tpu.ops.sampling import farthest_point_sample
-from buffer_tpu.pipeline.pyramid import build_pyramid
+from buffer_tpu.pipeline.pyramid import build_pyramid_and_normals
 from buffer_tpu.pipeline import matching, ransac, refine
 
 
@@ -31,12 +30,22 @@ class PairInputs(NamedTuple):
     """Static-shape device inputs for one fragment pair (both clouds padded
     to the ``cfg.static`` plan).  ``raw`` is the first-downsample cloud used
     for patch extraction (src_pcd_raw/tgt_pcd_raw in the reference);
-    ``sds`` the second-downsample cloud the point learner runs on."""
+    ``sds`` the second-downsample cloud the point learner runs on.
+
+    ``lvl1``/``lvl2`` are the deterministic barycenter-subsampled pyramid
+    levels.  They are precomputed on the host by the native C++ grid
+    subsampler (cpp/host_ops.cpp — the same split the reference uses,
+    C++ in the collate) because a 30k-element sort is pathologically slow
+    on the TPU; when absent (None) they are computed on device."""
 
     raw: jnp.ndarray        # [2, R, 3]
     raw_mask: jnp.ndarray   # [2, R]
     sds: jnp.ndarray        # [2, S0, 3]
     sds_mask: jnp.ndarray   # [2, S0]
+    lvl1: jnp.ndarray = None        # [2, S1, 3] or None
+    lvl1_mask: jnp.ndarray = None   # [2, S1]
+    lvl2: jnp.ndarray = None        # [2, S2, 3] or None
+    lvl2_mask: jnp.ndarray = None   # [2, S2]
 
 
 class RegistrationResult(NamedTuple):
@@ -88,15 +97,13 @@ def register_pair(model: BufferModel, variables: Dict[str, dict],
     K = cfg.point.num_keypts
     k_norm, k_desc0, k_desc1, k_ransac = jax.random.split(key, 4)
 
-    # 1. input features: PCA normals on the sds clouds (the reference
-    #    estimates these host-side with Open3D, ThreeDMatch/dataset.py:142-153)
-    normals = jax.vmap(
-        lambda p, m: estimate_normals(p, m, knn=cfg.static.normal_knn,
-                                      chunk=cfg.static.knn_chunk)
-    )(inputs.sds, inputs.sds_mask)
-
-    # 2. conv pyramid + point learner
-    pyr = build_pyramid(cfg, inputs.sds, inputs.sds_mask, normals)
+    # 1+2. input PCA normals (the reference estimates these host-side with
+    #    Open3D, ThreeDMatch/dataset.py:142-153) and the conv pyramid share
+    #    one fused level-0 neighbor pass
+    levels = (None if inputs.lvl1 is None else
+              (inputs.lvl1, inputs.lvl1_mask, inputs.lvl2, inputs.lvl2_mask))
+    pyr = build_pyramid_and_normals(cfg, inputs.sds, inputs.sds_mask,
+                                    levels=levels)
     axis, eps, branch = model.Ref.apply(variables["Ref"], pyr)
     axis = orient_axes(axis, inputs.sds)                     # [2, S0, 3]
     score = model.Keypt.apply(variables["Keypt"], pyr, branch)[..., 0]

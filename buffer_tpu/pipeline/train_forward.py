@@ -29,8 +29,7 @@ from buffer_tpu.models.composite import BufferModel
 from buffer_tpu.models import patch_embedder as pe
 from buffer_tpu.models.heads import equi_match
 from buffer_tpu.ops.neighbors import nearest
-from buffer_tpu.ops.normals import estimate_normals
-from buffer_tpu.pipeline.pyramid import build_pyramid
+from buffer_tpu.pipeline.pyramid import build_pyramid_and_normals
 from buffer_tpu.pipeline.registration import PairInputs, orient_axes
 from buffer_tpu.train import losses
 
@@ -123,12 +122,11 @@ def stage_loss(
     gt_R = relt_pose[:3, :3]
     upd = {s: variables[s]["batch_stats"] for s in variables}
 
-    # input normals + pyramid (trainer.py:113-123)
-    normals = jax.vmap(
-        lambda p_, m_: estimate_normals(p_, m_, knn=cfg.static.normal_knn,
-                                        chunk=cfg.static.knn_chunk)
-    )(inputs.sds, inputs.sds_mask)
-    pyr = build_pyramid(cfg, inputs.sds, inputs.sds_mask, normals)
+    # input normals + pyramid, fused level-0 pass (trainer.py:113-123)
+    levels = (None if inputs.lvl1 is None else
+              (inputs.lvl1, inputs.lvl1_mask, inputs.lvl2, inputs.lvl2_mask))
+    pyr = build_pyramid_and_normals(cfg, inputs.sds, inputs.sds_mask,
+                                    levels=levels)
 
     (axis, eps, branch), upd["Ref"] = _apply(model.Ref, variables["Ref"], pyr,
                                              train=train)

@@ -99,7 +99,8 @@ def test_invariant_head_parity(merged, variables):
     with torch.no_grad():
         ref = om(torch.from_numpy(x)).numpy()  # [1,1,N]
 
-    xj = jnp.asarray(np.transpose(x, (0, 3, 2, 1)))  # [1,N,3,10]
+    from buffer_tpu.nn.vn import flatten_vn
+    xj = flatten_vn(jnp.asarray(np.transpose(x, (0, 3, 2, 1))))  # [1,N,30] flat
     vars_ = {"params": _sub(params, "Ref", "inv_layer"),
              "batch_stats": _sub(stats, "Ref", "inv_layer")}
     out = InvariantHead(10, "sigmoid").apply(
@@ -116,7 +117,8 @@ def test_detnet_head_parity(merged, variables):
     oracle.load_subtree(om, merged, "Keypt.invar_layer.")
     with torch.no_grad():
         ref = om(torch.from_numpy(x)).numpy()
-    xj = jnp.asarray(np.transpose(x, (0, 3, 2, 1)))
+    from buffer_tpu.nn.vn import flatten_vn
+    xj = flatten_vn(jnp.asarray(np.transpose(x, (0, 3, 2, 1))))
     vars_ = {"params": _sub(params, "Keypt", "invar_layer"),
              "batch_stats": _sub(stats, "Keypt", "invar_layer")}
     out = InvariantHead(10, "softplus").apply(
@@ -158,3 +160,19 @@ def test_cost_net_parity(merged, variables):
              "batch_stats": _sub(stats, "Inlier", "conv")}
     out = CostNet(20).apply(vars_, xj)
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=1e-3)
+
+
+def test_vnllr_flat_matches_original(merged, variables):
+    """The flat-layout VN block must be numerically identical to the
+    [..., 3, C] one (same params, same math, different tiling)."""
+    from buffer_tpu.nn.vn import VNLinearLeakyReLUFlat, flatten_vn
+    params, stats = variables
+    rs = np.random.RandomState(7)
+    x = rs.randn(1, 50, 16, 3, 4).astype(np.float32)  # [B,N,K,3,C]
+    vars_ = {"params": _sub(params, "Ref", "encoder_blocks_0", "conv"),
+             "batch_stats": _sub(stats, "Ref", "encoder_blocks_0", "conv")}
+    ref = VNLinearLeakyReLU(10).apply(vars_, jnp.asarray(x))
+    flat_in = flatten_vn(jnp.asarray(x))
+    out = VNLinearLeakyReLUFlat(10).apply(vars_, flat_in)
+    np.testing.assert_allclose(np.asarray(flatten_vn(ref)), np.asarray(out),
+                               atol=2e-5, rtol=1e-4)
