@@ -41,7 +41,10 @@ def synthetic_pair(cfg, seed=0):
     ext = 1.5 * np.sqrt(n_raw / 60000.0)
     raw = rs.uniform(-ext, ext, (n_raw, 3)).astype(np.float32)
     raw[:, 2] = (0.5 * np.sin(2.0 * raw[:, 0]) + 0.4 * np.cos(1.7 * raw[:, 1])
-                 + 0.15 * np.sin(6.0 * raw[:, 0] * raw[:, 1]) + 2.0)
+                 + 0.15 * np.sin(6.0 * raw[:, 0] * raw[:, 1])
+                 + 0.2 * np.tanh(raw[:, 0] + 0.5 * raw[:, 1])     # break symmetry
+                 + 0.1 * np.exp(-4 * ((raw[:, 0] - 0.4) ** 2
+                                      + (raw[:, 1] + 0.3) ** 2)) + 2.0)
     import jax.numpy as jnp
     from buffer_tpu.data.preprocess import prepare_pair
 

@@ -17,6 +17,11 @@ import jax.numpy as jnp
 from buffer_tpu.core.numerics import safe_norm, safe_normalize
 
 EPS = 1e-8
+# 3x3/4x4 rotation algebra must be exact: at the TPU's default bf16 matmul
+# precision a composed rotation is ~0.4% off orthonormal — a 3-4 degree
+# phantom error on any pose computed through it.  These products are tiny,
+# so full precision is free.
+_HP = jax.lax.Precision.HIGHEST
 
 
 def transform(pts: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
@@ -71,7 +76,7 @@ def angle_axis_to_rotation_matrix(angle_axis: jnp.ndarray) -> jnp.ndarray:
     c = jnp.cos(theta)[..., None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=angle_axis.dtype),
                            angle_axis.shape[:-1] + (3, 3))
-    return eye + s * k + (1.0 - c) * (k @ k)
+    return eye + s * k + (1.0 - c) * jnp.matmul(k, k, precision=_HP)
 
 
 def _skew(v: jnp.ndarray) -> jnp.ndarray:
@@ -108,7 +113,7 @@ def rodrigues_a_to_b(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     c = safe_normalize(c, axis=-1, eps=EPS)
     k = _skew(c)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=a.dtype), k.shape)
-    R = eye + jnp.sin(theta) * k + (1.0 - jnp.cos(theta)) * (k @ k)
+    R = eye + jnp.sin(theta) * k + (1.0 - jnp.cos(theta)) * jnp.matmul(k, k, precision=_HP)
     return jnp.swapaxes(R, -1, -2)
 
 
@@ -139,7 +144,7 @@ def angles_to_rotation_matrix(angles: jnp.ndarray) -> jnp.ndarray:
         jnp.stack([sz, cz, zero], -1),
         jnp.stack([zero, zero, one], -1),
     ], -2)
-    return Rz @ Ry @ Rx
+    return jnp.matmul(jnp.matmul(Rz, Ry, precision=_HP), Rx, precision=_HP)
 
 
 def random_rotation(key: jax.Array, num_axis: int, augment_rotation: float = 1.0,
@@ -157,7 +162,7 @@ def random_rotation(key: jax.Array, num_axis: int, augment_rotation: float = 1.0
     Rx = angles_to_rotation_matrix(jnp.array([ax, 0.0, 0.0], dtype=dtype))
     Ry = angles_to_rotation_matrix(jnp.array([0.0, ay, 0.0], dtype=dtype))
     Rz = angles_to_rotation_matrix(jnp.array([0.0, 0.0, az], dtype=dtype))
-    return Rx @ Ry @ Rz
+    return jnp.matmul(jnp.matmul(Rx, Ry, precision=_HP), Rz, precision=_HP)
 
 
 def rotation_matrix_to_quaternion(R: jnp.ndarray) -> jnp.ndarray:
@@ -219,7 +224,8 @@ def kabsch_quat(A: jnp.ndarray, B: jnp.ndarray,
     wsum = jnp.sum(weights, axis=-1, keepdims=True)[..., None] + eps
     cA = jnp.sum(A * w, axis=-2, keepdims=True) / wsum
     cB = jnp.sum(B * w, axis=-2, keepdims=True) / wsum
-    H = jnp.swapaxes((A - cA) * w, -1, -2) @ (B - cB)      # [bs, 3, 3]
+    H = jnp.matmul(jnp.swapaxes((A - cA) * w, -1, -2), B - cB,
+                   precision=_HP)                          # [bs, 3, 3]
 
     Sxx, Sxy, Sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
     Syx, Syy, Syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
@@ -236,11 +242,11 @@ def kabsch_quat(A: jnp.ndarray, B: jnp.ndarray,
 
     q = jnp.ones(A.shape[:-2] + (4,), dtype=A.dtype)
     for _ in range(iters):
-        q = jnp.einsum("...ij,...j->...i", Ks, q)
+        q = jnp.einsum("...ij,...j->...i", Ks, q, precision=_HP)
         q = q / jnp.maximum(
             jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True)), eps)
     R = quaternion_to_rotation_matrix(q)
-    t = jnp.swapaxes(cB, -1, -2) - R @ jnp.swapaxes(cA, -1, -2)
+    t = jnp.swapaxes(cB, -1, -2) - jnp.matmul(R, jnp.swapaxes(cA, -1, -2), precision=_HP)
     return integrate_trans(R, t[..., 0])
 
 
@@ -262,7 +268,7 @@ def kabsch(A: jnp.ndarray, B: jnp.ndarray, weights: jnp.ndarray | None = None,
     cB = jnp.sum(B * w, axis=-2, keepdims=True) / wsum
     Am = A - cA
     Bm = B - cB
-    H = jnp.swapaxes(Am * w, -1, -2) @ Bm  # [bs, 3, 3]
+    H = jnp.matmul(jnp.swapaxes(Am * w, -1, -2), Bm, precision=_HP)
     # torch.svd returns V (not V^T); reference computes R = V diag(1,1,d) U^T
     U, S, Vt = jnp.linalg.svd(H, full_matrices=False)
     V = jnp.swapaxes(Vt, -1, -2)
@@ -271,5 +277,5 @@ def kabsch(A: jnp.ndarray, B: jnp.ndarray, weights: jnp.ndarray | None = None,
         [jnp.ones(d.shape + (2,), dtype=A.dtype), d[..., None]], axis=-1
     )
     R = (V * diag[..., None, :]) @ jnp.swapaxes(U, -1, -2)
-    t = jnp.swapaxes(cB, -1, -2) - R @ jnp.swapaxes(cA, -1, -2)
+    t = jnp.swapaxes(cB, -1, -2) - jnp.matmul(R, jnp.swapaxes(cA, -1, -2), precision=_HP)
     return integrate_trans(R, t[..., 0])

@@ -43,8 +43,11 @@ def _kernel(slope, has_bn, x_ref, wf_ref, wd_ref, ab_ref, out_ref):
     Cout3 = wf_ref.shape[0]
     C = Cout3 // 3
     xf = x_ref[...]
-    p = jnp.dot(wf_ref[...], xf, preferred_element_type=jnp.float32)
-    d = jnp.dot(wd_ref[...], xf, preferred_element_type=jnp.float32)
+    hp = jax.lax.Precision.HIGHEST   # see nn/vn.py PRECISION rationale
+    p = jnp.dot(wf_ref[...], xf, preferred_element_type=jnp.float32,
+                precision=hp)
+    d = jnp.dot(wd_ref[...], xf, preferred_element_type=jnp.float32,
+                precision=hp)
 
     # [C, Cout3] 0/1 matrix summing the 3 components of each channel
     pool = (jax.lax.broadcasted_iota(jnp.int32, (C, Cout3), 1) // 3
@@ -52,10 +55,12 @@ def _kernel(slope, has_bn, x_ref, wf_ref, wd_ref, ab_ref, out_ref):
             ).astype(jnp.float32)
 
     def csum(v):     # [Cout3, R] -> [C, R]
-        return jnp.dot(pool, v, preferred_element_type=jnp.float32)
+        return jnp.dot(pool, v, preferred_element_type=jnp.float32,
+                       precision=hp)
 
     def expand3(v):  # [C, R] -> [Cout3, R]
-        return jnp.dot(pool.T, v, preferred_element_type=jnp.float32)
+        return jnp.dot(pool.T, v, preferred_element_type=jnp.float32,
+                       precision=hp)
 
     if has_bn:
         a = ab_ref[0]      # [C]

@@ -109,7 +109,8 @@ def spt(
     def per_block(block):                                        # [Kc,S,3]
         d2 = (
             jnp.sum(block * block, axis=-1)[:, None, :]
-            - 2.0 * jnp.einsum("ad,ksd->kas", anchors, block)
+            - 2.0 * jnp.einsum("ad,ksd->kas", anchors, block,
+                               precision=lax.Precision.HIGH)
             + jnp.sum(anchors * anchors, axis=-1)[None, :, None]
         )                                                        # [Kc,A,S]
         score = jnp.where(d2 <= r2, prio[None, None, :], -1e9)
@@ -153,7 +154,8 @@ class MiniSpinNet(nn.Module):
         """Returns (desc [K,32], equi [K,ele_n,azi_n,32])."""
         if pooled is None:
             K = inv_patches.shape[0]
-            h = nn.Dense(16, name="pnt_conv")(inv_patches)       # [K,A,ns,16]
+            h = nn.Dense(16, name="pnt_conv",
+                         precision=jax.lax.Precision.HIGHEST)(inv_patches)
             h = MaskedBatchNorm(16, name="pnt_bn")(h, train=train)
             h = nn.relu(h)
             h = jnp.max(h, axis=2)                               # max over samples
@@ -163,10 +165,12 @@ class MiniSpinNet(nn.Module):
             h = pooled
         x = CylindricalNet(name="conv_net")(h, train=train)      # [K,ele,azi,32]
 
-        w = nn.Dense(16, name="pool_conv1")(x)
+        w = nn.Dense(16, name="pool_conv1",
+                     precision=jax.lax.Precision.HIGHEST)(x)
         w = MaskedBatchNorm(16, name="pool_bn1")(w, train=train)
         w = nn.relu(w)
-        w = nn.Dense(1, name="pool_conv2")(w)
+        w = nn.Dense(1, name="pool_conv2",
+                     precision=jax.lax.Precision.HIGHEST)(w)
         w = MaskedBatchNorm(1, name="pool_bn2")(w, train=train)
         w = nn.relu(w)
         f = jnp.mean(x * w, axis=(1, 2))                         # [K,32]
@@ -229,9 +233,11 @@ def fused_point_features(
     def per_block(block):                        # [c, S, 3]
         c = block.shape[0]
         feats = jax.nn.relu(
-            jnp.einsum("ksd,adc->ksac", block, W_all) + b_eff)   # [c,S,20,16]
+            jnp.einsum("ksd,adc->ksac", block, W_all,
+                       precision=jax.lax.Precision.HIGHEST) + b_eff)
         d2 = (jnp.sum(block * block, axis=-1)[:, None, :]
-              - 2.0 * jnp.einsum("ad,ksd->kas", anchors, block)
+              - 2.0 * jnp.einsum("ad,ksd->kas", anchors, block,
+                                 precision=lax.Precision.HIGH)
               + a2[None, :, None])                               # [c,A,S]
         in_ball = d2 <= r2
         count = jnp.sum(in_ball, axis=-1)                        # [c,A]

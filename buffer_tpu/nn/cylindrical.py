@@ -17,8 +17,11 @@ from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn
+from jax import lax
 
 from buffer_tpu.nn.vn import MaskedBatchNorm
+
+PRECISION = lax.Precision.HIGHEST  # see nn/vn.py rationale
 
 
 def pad_cyl_2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -59,7 +62,8 @@ class CylindricalNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # conv3d 16 -> 64, kernel 3x3x3, cylindrical padding, VALID
         h = pad_cyl_3d(x, 3)
-        h = nn.Conv(64, (3, 3, 3), padding="VALID", name="conv3d_0")(h)
+        h = nn.Conv(64, (3, 3, 3), padding="VALID", name="conv3d_0",
+                    precision=PRECISION)(h)
         h = MaskedBatchNorm(64, affine=False, name="bn3d_0")(h, train=train)
         h = nn.relu(h)
         h = h[:, 0]  # radial dim collapsed to 1 (patchnet.py:56-58)
@@ -67,11 +71,13 @@ class CylindricalNet(nn.Module):
         dims = (64, 128, 128, 64, 64, 32)
         for i, d in enumerate(dims):
             h = pad_cyl_2d(h, 3)
-            h = nn.Conv(d, (3, 3), padding="VALID", name=f"conv2d_{i}")(h)
+            h = nn.Conv(d, (3, 3), padding="VALID", name=f"conv2d_{i}",
+                        precision=PRECISION)(h)
             h = MaskedBatchNorm(d, affine=False, name=f"bn2d_{i}")(h, train=train)
             h = nn.relu(h)
         h = pad_cyl_2d(h, 3)
-        h = nn.Conv(32, (3, 3), padding="VALID", name="conv2d_out")(h)
+        h = nn.Conv(32, (3, 3), padding="VALID", name="conv2d_out",
+                    precision=PRECISION)(h)
         return h
 
 
@@ -96,8 +102,10 @@ class CostNet(nn.Module):
         )
         h = x
         for i, (d, k) in enumerate(plan):
-            h = nn.Conv(d, k, padding="VALID", name=f"conv3d_{i}")(h)
+            h = nn.Conv(d, k, padding="VALID", name=f"conv3d_{i}",
+                        precision=PRECISION)(h)
             h = MaskedBatchNorm(d, affine=False, name=f"bn3d_{i}")(h, train=train)
             h = nn.relu(h)
-        h = nn.Conv(self.out_dim, (2, 1, 2), padding="VALID", name="conv3d_out")(h)
+        h = nn.Conv(self.out_dim, (2, 1, 2), padding="VALID",
+                    name="conv3d_out", precision=PRECISION)(h)
         return h.reshape(h.shape[0], self.out_dim)

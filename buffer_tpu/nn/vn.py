@@ -21,9 +21,17 @@ from typing import Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
+from jax import lax
+
 from buffer_tpu.core.numerics import safe_norm
 
 EPS = 1e-6  # reference models/vn_layers.py:10
+# The direction-gated VN nonlinearity branches on sign(<p, d>): bf16 matmul
+# noise flips gates and destroys the equivariance the architecture promises
+# (measured: axis co-rotation cosine 0.73 -> 0.998).  All trained-network
+# matmuls therefore run at full fp32 MXU precision; the big thresholded
+# distance fields elsewhere stay at the fast default.
+PRECISION = lax.Precision.HIGHEST
 
 
 def flatten_vn(x: jnp.ndarray) -> jnp.ndarray:
@@ -152,9 +160,11 @@ class VNLinearLeakyReLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
-        p = nn.Dense(self.features, use_bias=False, name="map_to_feat")(x)
+        p = nn.Dense(self.features, use_bias=False, name="map_to_feat",
+                     precision=PRECISION)(x)
         p = VNBatchNorm(self.features, name="batchnorm")(p, mask=mask, train=train)
-        d = nn.Dense(self.features, use_bias=False, name="map_to_dir")(x)
+        d = nn.Dense(self.features, use_bias=False, name="map_to_dir",
+                     precision=PRECISION)(x)
         return _vn_leaky(p, d, self.negative_slope)
 
 
@@ -175,9 +185,9 @@ class VNStdFeature(nn.Module):
             x, mask=mask, train=train)
         z = VNLinearLeakyReLU(self.features // 2, self.negative_slope, name="vn2")(
             z, mask=mask, train=train)
-        z = nn.Dense(3, use_bias=False, name="vn_lin")(z)  # [..., 3(j), 3(k)]
+        z = nn.Dense(3, use_bias=False, name="vn_lin", precision=PRECISION)(z)
         # torch (dim=4): x_std[c,k] = sum_j x[c,j] * z0[j,k]
-        std = jnp.einsum("...jc,...jk->...ck", x, z)
+        std = jnp.einsum("...jc,...jk->...ck", x, z, precision=PRECISION)
         return std.reshape(*std.shape[:-2], std.shape[-1] * std.shape[-2])
 
 
@@ -248,7 +258,7 @@ class VNBatchNormFlat(nn.Module):
             b = params["bias"] - stats["mean"] * a
             return a.astype(p.dtype), b.astype(p.dtype)
         pool = _pool3(self.features, p.dtype)
-        norm_sq = (p * p) @ pool                               # [..., C]
+        norm_sq = jnp.matmul(p * p, pool, precision=PRECISION)  # [..., C]
         norm = jnp.sqrt(jnp.maximum(norm_sq, 1e-24)) + EPS
         if self.features == 1:
             _ = bn(jnp.zeros_like(norm), train=False)

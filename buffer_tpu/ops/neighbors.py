@@ -33,7 +33,8 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     b [..., N, D]; the cross term is a matmul (MXU)."""
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)
-    cross = a @ jnp.swapaxes(b, -1, -2)
+    cross = jnp.matmul(a, jnp.swapaxes(b, -1, -2),
+                       precision=lax.Precision.HIGH)
     d2 = a2 - 2.0 * cross + jnp.swapaxes(b2, -1, -2)
     return jnp.maximum(d2, 0.0)
 
@@ -140,7 +141,9 @@ def _radius_knn_approx(query, support, support_valid, k, radius,
 
     def one_chunk(qc):
         d2 = (jnp.sum(qc * qc, axis=-1, keepdims=True)
-              - 2.0 * (qc @ support.T) + s2[None, :])
+              - 2.0 * jnp.matmul(qc, support.T,
+                                 precision=lax.Precision.HIGH)
+              + s2[None, :])
         bad = ~support_valid[None, :]
         if r2 is not None:
             bad = bad | (d2 > r2)

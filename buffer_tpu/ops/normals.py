@@ -90,7 +90,9 @@ def normals_from_neighbors(
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
     mean = jnp.sum(nbrs * w, axis=1) / cnt
     centered = (nbrs - mean[:, None, :]) * w
-    cov = jnp.einsum("nki,nkj->nij", centered, centered)
+    import jax
+    cov = jnp.einsum("nki,nkj->nij", centered, centered,
+                     precision=jax.lax.Precision.HIGHEST)
     n = smallest_eigvec_sym3(cov)
     vp = jnp.zeros((3,), points.dtype) if viewpoint is None else viewpoint
     flip = jnp.sum(n * (vp[None, :] - points), axis=-1) < 0

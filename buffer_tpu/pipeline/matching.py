@@ -28,7 +28,9 @@ def mutual_matching(src_des: jnp.ndarray, tgt_des: jnp.ndarray,
                     src_valid: jnp.ndarray, tgt_valid: jnp.ndarray) -> Matches:
     """Mutual nearest neighbors in descriptor space.  Descriptors are
     L2-normalized (models/patch_embedder.py:83) so min-distance = max-dot."""
-    score = src_des @ tgt_des.T                            # [Ks, Kt]
+    import jax
+    score = jnp.matmul(src_des, tgt_des.T,
+                       precision=jax.lax.Precision.HIGHEST)  # [Ks, Kt]
     score = jnp.where(src_valid[:, None] & tgt_valid[None, :], score, -BIG)
     s_nn = jnp.argmax(score, axis=1)                       # [Ks]
     t_nn = jnp.argmax(score, axis=0)                       # [Kt]

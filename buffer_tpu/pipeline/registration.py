@@ -93,6 +93,17 @@ def describe_cloud(model: BufferModel, variables, cfg: Config, key,
 
 def register_pair(model: BufferModel, variables: Dict[str, dict],
                   inputs: PairInputs, key: jax.Array) -> RegistrationResult:
+    # Geometry and trained-net matmuls must run at fp32 MXU precision: bf16
+    # noise flips the VN gating and jitters patch coordinates, costing
+    # matches (measured: 455 -> 600 mutual, RRE 3.8 -> 0.1 deg on the
+    # synthetic sanity pair).  The bulky thresholded distance fields opt
+    # back into fast bf16 explicitly (ops/neighbors.py, patch_embedder).
+    with jax.default_matmul_precision("highest"):
+        return _register_pair(model, variables, inputs, key)
+
+
+def _register_pair(model: BufferModel, variables: Dict[str, dict],
+                   inputs: PairInputs, key: jax.Array) -> RegistrationResult:
     cfg = model.cfg
     K = cfg.point.num_keypts
     k_norm, k_desc0, k_desc1, k_ransac = jax.random.split(key, 4)

@@ -117,6 +117,13 @@ def stage_loss(
     train: bool = True,
     det_margin: float = 1.05,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, dict]]:
+    with jax.default_matmul_precision("highest"):
+        return _stage_loss(model, variables, stage, inputs, relt_pose, key,
+                           train, det_margin)
+
+
+def _stage_loss(model, variables, stage, inputs, relt_pose, key,
+                train=True, det_margin=1.05):
     cfg = model.cfg
     k_match, k_s, k_t = jax.random.split(key, 3)
     gt_R = relt_pose[:3, :3]
