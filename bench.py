@@ -79,19 +79,53 @@ def main():
         variables = model.init(jax.random.PRNGKey(0))
 
     inputs, T_gt = synthetic_pair(cfg)
-    fn = jax.jit(lambda v, i, k: register_pair(model, v, i, k))
 
+    # The TPU here sits behind a tunnel whose per-dispatch overhead
+    # (20-180 ms) dwarfs device time and whose block_until_ready does not
+    # block, so the honest measurement iterates ON DEVICE: lax.scan over
+    # n registrations (the per-iteration PRNG key varies the work) and
+    # difference two scan lengths.  This is also what a production
+    # pipeline achieves by streaming pairs without host sync.
+    import jax.numpy as jnp
+
+    def run_n(n):
+        def f(variables, inputs, key):
+            def body(c, k):
+                r = register_pair(model, variables, inputs, k)
+                return c, (r.pose, r.num_mutual)
+            _, (poses, nm) = jax.lax.scan(body, 0, jax.random.split(key, n))
+            return poses, nm
+        return jax.jit(f)
+
+    n_lo, n_hi = 2, 2 + args.iters
+    f_lo, f_hi = run_n(n_lo), run_n(n_hi)
     key = jax.random.PRNGKey(0)
+
     t0 = time.time()
-    res = jax.block_until_ready(fn(variables, inputs, key))
+    np.asarray(f_lo(variables, inputs, key)[0])
+    np.asarray(f_hi(variables, inputs, key)[0])
     compile_s = time.time() - t0
 
-    t0 = time.time()
-    for i in range(args.iters):
-        res = jax.block_until_ready(fn(variables, inputs,
-                                       jax.random.PRNGKey(i)))
-    dt = (time.time() - t0) / args.iters
+    def sync(g, reps=3):
+        best = 1e9
+        for _ in range(reps):
+            t1 = time.time()
+            out = g(variables, inputs, key)
+            np.asarray(out[0]).ravel()[:1]
+            best = min(best, time.time() - t1)
+        return best, out
+
+    t_lo, _ = sync(f_lo)
+    t_hi, out = sync(f_hi)
+    dt = (t_hi - t_lo) / (n_hi - n_lo)
     pairs_per_sec = 1.0 / dt
+
+    poses, nmut = np.asarray(out[0]), np.asarray(out[1])
+
+    class Res:
+        pose = poses[-1]
+        num_mutual = int(nmut[-1])
+    res = Res()
 
     pose = np.asarray(res.pose)
     rte = float(np.linalg.norm(pose[:3, 3] - T_gt[:3, 3]))

@@ -59,8 +59,11 @@ class Pyramid(NamedTuple):
 
 
 def _bgather(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Per-cloud gather: arr [B, N, ...], idx [B, ...] -> [B, ..., ...]."""
-    return jax.vmap(lambda a, i: jnp.take(a, i, axis=0))(arr, idx)
+    """Per-cloud gather: arr [B, N, D], idx [B, ...] -> [B, ..., D]
+    (flat-indexed form; measured 13.5 -> 5.5 ms on the level-0
+    neighborhood gather vs the vmapped gather)."""
+    from buffer_tpu.ops.neighbors import gather_rows
+    return gather_rows(arr, idx)
 
 
 def gather_neighborhood(

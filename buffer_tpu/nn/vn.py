@@ -267,48 +267,104 @@ class VNBatchNormFlat(nn.Module):
         return p * _expand3(norm_bn / norm)
 
 
+def _blockdiag(K: int, W: jnp.ndarray) -> jnp.ndarray:
+    """I_K (x) W: [K*Cin, K*Cout] block-diagonal channel mixer applied
+    independently per neighbor slot."""
+    cin, cout = W.shape
+    eyeK = jnp.eye(K, dtype=W.dtype)
+    return (eyeK[:, None, :, None] * W[None, :, None, :]).reshape(
+        K * cin, K * cout)
+
+
+def vnn_block_planes(
+    x: jnp.ndarray,            # [M, K, Cin*3] gathered VN input (flat)
+    Wf: jnp.ndarray,           # [Cin, Cout]
+    Wd: jnp.ndarray,           # [Cin, Cout]
+    bn_a: jnp.ndarray,         # [Cout] folded BN scale (ones if no BN)
+    bn_b: jnp.ndarray,         # [Cout] folded BN shift (zeros if no BN)
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    """Fused eval-mode VNLinearLeakyReLU + mean-over-K in a component-planes
+    layout.  Returns [M, Cout*3].
+
+    The interleaved flat layout (lane = c*3 + component) is deinterleaved
+    ONCE into a size-3 component axis; after that:
+
+    * channel mixing  = one [M*3, K*Cin] @ [K*Cin, K*Cout] matmul (MXU;
+      3x fewer FLOPs than the Kronecker form since the I3 zeros vanish),
+    * every 3-component reduction (BN vector norm, gating dot, direction
+      norm) = a sum over the leading size-3 axis (VPU, no pooling matmul),
+    * the mean over K = one tiny [K*Cout, Cout] averaging matmul.
+
+    fp32 end-to-end (see PRECISION rationale at the top of this module).
+    """
+    M, K, Cin3 = x.shape
+    cin = Cin3 // 3
+    cout = Wf.shape[1]
+    # [M, K, Cin, 3] -> [3, M, K*Cin]: one physical transpose of the input
+    xp = jnp.moveaxis(x.reshape(M, K, cin, 3), -1, 0).reshape(3, M, K * cin)
+
+    WfB = _blockdiag(K, Wf)
+    WdB = _blockdiag(K, Wd)
+    p = jnp.matmul(xp, WfB, precision=PRECISION)       # [3, M, K*Cout]
+    d = jnp.matmul(xp, WdB, precision=PRECISION)
+
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(p * p, axis=0), 1e-24)) + EPS
+    at = jnp.tile(bn_a, K)
+    bt = jnp.tile(bn_b, K)
+    p = p * (at + bt / norm)[None]                     # folded VNBatchNorm
+
+    dot = jnp.sum(p * d, axis=0)                       # [M, K*Cout]
+    dsq = jnp.sum(d * d, axis=0)
+    coef = dot / (dsq + EPS)
+    pos = (dot >= 0).astype(p.dtype)
+    reflected = p - coef[None] * d
+    s = negative_slope
+    out = s * p + (1.0 - s) * (pos[None] * p + (1.0 - pos)[None] * reflected)
+
+    # mean over K and reinterleave: [3, M, K*Cout] -> [M, Cout*3]
+    avg = jnp.tile(jnp.eye(cout, dtype=x.dtype), (K, 1)) / K   # [K*Cout, Cout]
+    pooled = jnp.matmul(out, avg, precision=PRECISION)         # [3, M, Cout]
+    return jnp.moveaxis(pooled, 0, -1).reshape(M, cout * 3)
+
+
 class VNLinearLeakyReLUFlat(nn.Module):
     """VNLinearLeakyReLU on flat [..., Cin*3] tensors; same semantics and
     parameter tree as :class:`VNLinearLeakyReLU`.
 
     ``reduce_k=True`` fuses the neighbor mean-pool (axis=2 of a
-    [B, N, K, Cin*3] input) into the op.  In eval on TPU the whole block
-    runs as one Pallas kernel (buffer_tpu.kernels.vnn_pallas) with the BN
-    running stats folded to an affine factor; training and CPU use the
-    XLA composition below.
+    [B, N, K, Cin*3] input) into the op.  In eval the block runs in a
+    component-planes layout (:func:`vnn_block_planes`): the x/y/z vector
+    components become a size-3 batch axis, so channel mixing is a
+    block-diagonal ``[*, K*Cin] @ [K*Cin, K*Cout]`` MXU matmul and every
+    per-channel 3-component reduction (norms, gating dots) is a cheap
+    sum over that axis — no pooling matmuls, no big transposes.  The BN
+    running stats fold into an affine factor.  Training uses the XLA
+    composition below (batch statistics).
     """
 
     features: int
     negative_slope: float = 0.2
     reduce_k: bool = False
-    impl: str = "auto"   # 'auto' | 'fused' | 'xla'
+    impl: str = "auto"   # 'auto' | 'planes' | 'xla'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
-        import jax
         cin = x.shape[-1] // 3
         cout = self.features
         Wf = _Kernel((cin, cout), name="map_to_feat")()
         Wd = _Kernel((cin, cout), name="map_to_dir")()
         bn = VNBatchNormFlat(cout, name="batchnorm")
 
-        use_fused = ((not train) and not self.is_initializing()
-                     and self.impl != "xla"
-                     and (self.impl == "fused"
-                          or jax.default_backend() == "tpu"))
-        if use_fused:
-            from buffer_tpu.kernels.vnn_pallas import vnn_block_fused
+        use_planes = ((not train) and not self.is_initializing()
+                      and self.impl != "xla" and self.reduce_k)
+        if use_planes:
             a, b = bn(x, fold_eval=True)
-            if self.reduce_k:
-                B, N, K, C3 = x.shape
-                out = vnn_block_fused(x.reshape(B * N, K, C3), Wf, Wd, a, b,
-                                      self.negative_slope)
-                return out.reshape(B, N, cout * 3)
-            lead = x.shape[:-1]
-            out = vnn_block_fused(x.reshape(-1, 1, x.shape[-1]), Wf, Wd, a, b,
-                                  self.negative_slope)
-            return out.reshape(*lead, cout * 3)
+            B, N, K, C3 = x.shape
+            out = vnn_block_planes(x.reshape(B * N, K, C3), Wf, Wd, a, b,
+                                   self.negative_slope)
+            return out.reshape(B, N, cout * 3)
 
         pool = _pool3(cout, x.dtype)
         p = x @ _kron3(Wf)                                     # [..., Cout*3]

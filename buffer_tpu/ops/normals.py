@@ -84,7 +84,26 @@ def normals_from_neighbors(
     viewpoint: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """PCA normals from precomputed kNN tables (lets callers share one
-    neighbor pass between normals and the level-0 conv lists)."""
+    neighbor pass between normals and the level-0 conv lists).
+
+    Accepts either one cloud (points [N, 3], idx [N, k]) or a batch
+    (points [B, N, 3], idx [B, N, k]); the batched form uses the fast
+    flat-indexed gather."""
+    if points.ndim == 3:
+        from buffer_tpu.ops.neighbors import gather_rows
+        nbrs = gather_rows(points, idx)               # [B, N, k, 3]
+        w = nvalid.astype(points.dtype)[..., None]
+        cnt = jnp.maximum(jnp.sum(w, axis=-2), 1.0)
+        mean = jnp.sum(nbrs * w, axis=-2) / cnt
+        centered = (nbrs - mean[..., None, :]) * w
+        import jax
+        cov = jnp.einsum("bnki,bnkj->bnij", centered, centered,
+                         precision=jax.lax.Precision.HIGHEST)
+        n = smallest_eigvec_sym3(cov)
+        vp = jnp.zeros((3,), points.dtype) if viewpoint is None else viewpoint
+        flip = jnp.sum(n * (vp - points), axis=-1) < 0
+        n = jnp.where(flip[..., None], -n, n)
+        return jnp.where(valid[..., None], n, 0.0)
     nbrs = gather_points(points, idx)                 # [N, k, 3]
     w = nvalid.astype(points.dtype)[..., None]
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)

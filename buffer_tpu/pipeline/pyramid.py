@@ -38,16 +38,17 @@ def build_pyramid_and_normals(cfg: Config, points: jnp.ndarray,
     k0 = max(st.normal_knn, st.neighbor_caps[0])
 
     def per_cloud(pts0, m0):
-        d2, idx, v = radius_knn(pts0, pts0, m0, k=k0, radius=None,
-                                chunk=st.knn_chunk, query_chunk=st.knn_chunk)
-        n = normals_from_neighbors(pts0, m0, idx[:, : st.normal_knn],
-                                   v[:, : st.normal_knn])
-        kc = st.neighbor_caps[0]
-        conv_idx = idx[:, :kc]
-        conv_valid = v[:, :kc] & (d2[:, :kc] <= r0 * r0) & m0[:, None]
-        return n, conv_idx, conv_valid
+        return radius_knn(pts0, pts0, m0, k=k0, radius=None,
+                          chunk=st.knn_chunk, query_chunk=st.knn_chunk)
 
-    normals, idx0, valid0 = jax.vmap(per_cloud)(points, masks)
+    d2, idx, v = jax.vmap(per_cloud)(points, masks)
+    # batched flat-gather normals (outside the vmap: the vmapped gather
+    # form is ~2.4x slower on TPU)
+    normals = normals_from_neighbors(points, masks, idx[..., : st.normal_knn],
+                                     v[..., : st.normal_knn])
+    kc = st.neighbor_caps[0]
+    idx0 = idx[..., :kc]
+    valid0 = v[..., :kc] & (d2[..., :kc] <= r0 * r0) & masks[..., None]
     pyr = _build_pyramid(cfg, points, masks, normals, l0=(idx0, valid0),
                          levels=levels)
     return pyr

@@ -124,6 +124,137 @@ void buffer_radius_neighbors(const float* queries, int64_t nq,
   }
 }
 
+// k-nearest neighbors via an expanding-shell search over a uniform hash
+// grid (cell size chosen by the caller, ~ the expected kth-NN distance).
+// Writes up to k indices sorted by ascending distance (shadow = ns when
+// fewer than k support points exist) and the found count.
+void buffer_knn(const float* queries, int64_t nq, const float* support,
+                int64_t ns, float cell, int32_t k,
+                int32_t* idx, int32_t* counts) {
+  auto hash3 = [](int64_t x, int64_t y, int64_t z) -> int64_t {
+    const int64_t B = 1 << 20;
+    return ((x + B) << 42) | ((y + B) << 21) | (z + B);
+  };
+  std::unordered_map<int64_t, std::vector<int32_t>> grid;
+  grid.reserve((size_t)ns);
+  for (int64_t i = 0; i < ns; ++i) {
+    const float* p = support + 3 * i;
+    grid[hash3((int64_t)std::floor(p[0] / cell),
+               (int64_t)std::floor(p[1] / cell),
+               (int64_t)std::floor(p[2] / cell))].push_back((int32_t)i);
+  }
+  std::vector<std::pair<float, int32_t>> cand;
+  for (int64_t q = 0; q < nq; ++q) {
+    const float* Q = queries + 3 * q;
+    int64_t cx = (int64_t)std::floor(Q[0] / cell);
+    int64_t cy = (int64_t)std::floor(Q[1] / cell);
+    int64_t cz = (int64_t)std::floor(Q[2] / cell);
+    cand.clear();
+    // expand shells until k found at shell R, then one more shell (a point
+    // in shell R can be farther than one in shell R+1; the extra shell
+    // covers every point within the current kth distance bound because
+    // the shell-R guarantee distance is (R)*cell >= kth best).
+    int32_t have_at = -1;
+    for (int R = 0;; ++R) {
+      for (int dx = -R; dx <= R; ++dx)
+        for (int dy = -R; dy <= R; ++dy)
+          for (int dz = -R; dz <= R; ++dz) {
+            if (std::max(std::abs(dx), std::max(std::abs(dy), std::abs(dz)))
+                != R)
+              continue;  // shell only
+            auto it = grid.find(hash3(cx + dx, cy + dy, cz + dz));
+            if (it == grid.end()) continue;
+            for (int32_t j : it->second) {
+              const float* S = support + 3 * j;
+              float d0 = Q[0] - S[0], d1 = Q[1] - S[1], d2v = Q[2] - S[2];
+              cand.emplace_back(d0 * d0 + d1 * d1 + d2v * d2v, j);
+            }
+          }
+      if (have_at >= 0 && R >= have_at + 1) break;
+      if (have_at < 0 && (int64_t)cand.size() >= k) have_at = R;
+      if ((int64_t)cand.size() >= ns) break;  // exhausted
+      if (R > 2048) break;                    // degenerate safety
+    }
+    int32_t cnt = (int32_t)std::min<size_t>(cand.size(), (size_t)k);
+    std::partial_sort(cand.begin(), cand.begin() + cnt, cand.end());
+    counts[q] = cnt;
+    for (int32_t s = 0; s < k; ++s)
+      idx[q * k + s] = s < cnt ? cand[s].second : (int32_t)ns;
+  }
+}
+
+// PCA surface normals from precomputed kNN tables (Open3D
+// estimate_normals + orient_normals_towards_camera_location(origin)
+// semantics: covariance centered on the neighborhood mean, smallest
+// eigenvector, flipped toward the origin).  idx rows may contain the
+// shadow index n (ignored via counts).
+void buffer_normals(const float* pts, int64_t n, const int32_t* idx,
+                    const int32_t* counts, int32_t k, float* normals) {
+  for (int64_t q = 0; q < n; ++q) {
+    int32_t c = counts[q];
+    float nx = 0.f, ny = 0.f, nz = 1.f;  // degenerate fallback: +z
+    if (c >= 3) {
+      double m[3] = {0, 0, 0};
+      for (int32_t s = 0; s < c; ++s) {
+        const float* p = pts + 3 * idx[q * k + s];
+        m[0] += p[0]; m[1] += p[1]; m[2] += p[2];
+      }
+      m[0] /= c; m[1] /= c; m[2] /= c;
+      double a00 = 0, a01 = 0, a02 = 0, a11 = 0, a12 = 0, a22 = 0;
+      for (int32_t s = 0; s < c; ++s) {
+        const float* p = pts + 3 * idx[q * k + s];
+        double x = p[0] - m[0], y = p[1] - m[1], z = p[2] - m[2];
+        a00 += x * x; a01 += x * y; a02 += x * z;
+        a11 += y * y; a12 += y * z; a22 += z * z;
+      }
+      // closed-form symmetric 3x3 smallest eigenpair (Cardano)
+      double qq = (a00 + a11 + a22) / 3.0;
+      double p1 = a01 * a01 + a02 * a02 + a12 * a12;
+      double d0 = a00 - qq, d1 = a11 - qq, d2 = a22 - qq;
+      double p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * p1;
+      double pp = std::sqrt(std::max(p2 / 6.0, 1e-30));
+      double b00 = d0 / pp, b01 = a01 / pp, b02 = a02 / pp;
+      double b11 = d1 / pp, b12 = a12 / pp, b22 = d2 / pp;
+      double detB = b00 * (b11 * b22 - b12 * b12)
+                  - b01 * (b01 * b22 - b12 * b02)
+                  + b02 * (b01 * b12 - b11 * b02);
+      double r = std::min(1.0, std::max(-1.0, detB / 2.0));
+      double phi = std::acos(r) / 3.0;
+      double lam1 = qq + 2.0 * pp * std::cos(phi);
+      double lam3 = qq + 2.0 * pp * std::cos(phi + 2.0 * M_PI / 3.0);
+      // rows of (A - lam1 I)(A - lam2 I) span the lam3 eigenvector
+      double lam2 = 3.0 * qq - lam1 - lam3;
+      double A1[9] = {a00 - lam1, a01, a02, a01, a11 - lam1, a12,
+                      a02, a12, a22 - lam1};
+      double A2[9] = {a00 - lam2, a01, a02, a01, a11 - lam2, a12,
+                      a02, a12, a22 - lam2};
+      double best = -1.0;
+      double v[3] = {0, 0, 1};
+      for (int row = 0; row < 3; ++row) {
+        double rv[3] = {0, 0, 0};
+        for (int ccol = 0; ccol < 3; ++ccol)
+          for (int t = 0; t < 3; ++t)
+            rv[ccol] += A1[row * 3 + t] * A2[t * 3 + ccol];
+        double nn = rv[0] * rv[0] + rv[1] * rv[1] + rv[2] * rv[2];
+        if (nn > best) { best = nn; v[0] = rv[0]; v[1] = rv[1]; v[2] = rv[2]; }
+      }
+      double nn = std::sqrt(std::max(best, 1e-30));
+      if (best > 1e-20) {
+        nx = (float)(v[0] / nn); ny = (float)(v[1] / nn);
+        nz = (float)(v[2] / nn);
+      }
+    }
+    // orient toward the origin (camera location (0,0,0))
+    const float* P = pts + 3 * q;
+    if (nx * (-P[0]) + ny * (-P[1]) + nz * (-P[2]) < 0.f) {
+      nx = -nx; ny = -ny; nz = -nz;
+    }
+    normals[3 * q + 0] = nx;
+    normals[3 * q + 1] = ny;
+    normals[3 * q + 2] = nz;
+  }
+}
+
 // Farthest point sampling (reference: pointnet2 furthest_point_sample).
 // Writes num_samples indices; starts from index 0.
 void buffer_fps(const float* pts, int64_t n, int32_t num_samples,
