@@ -21,7 +21,12 @@ from jax import lax
 
 from buffer_tpu.nn.vn import MaskedBatchNorm
 
-PRECISION = lax.Precision.HIGHEST  # see nn/vn.py rationale
+# Unlike the sign-gated VN nonlinearity (nn/vn.py PRECISION rationale),
+# these are plain conv+BN+ReLU stacks: bf16 MXU passes are quality-neutral
+# (measured on the full registration sanity: RTE 0.54 vs 0.57 cm, RRE
+# 0.113 vs 0.107 deg, mutual 567 vs 568 for DEFAULT vs HIGH) and ~6x
+# cheaper than HIGHEST on the cost volume.
+PRECISION = lax.Precision.DEFAULT
 
 
 def pad_cyl_2d(x: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -26,12 +26,13 @@ from jax import lax
 from buffer_tpu.core.numerics import safe_norm
 
 EPS = 1e-6  # reference models/vn_layers.py:10
-# The direction-gated VN nonlinearity branches on sign(<p, d>): bf16 matmul
-# noise flips gates and destroys the equivariance the architecture promises
-# (measured: axis co-rotation cosine 0.73 -> 0.998).  All trained-network
-# matmuls therefore run at full fp32 MXU precision; the big thresholded
-# distance fields elsewhere stay at the fast default.
-PRECISION = lax.Precision.HIGHEST
+# The direction-gated VN nonlinearity branches on sign(<p, d>): single-pass
+# bf16 matmul noise (~4e-3 relative) flips gates and destroys the
+# equivariance the architecture promises (measured: axis co-rotation cosine
+# 0.73 -> 0.998 when raising precision).  HIGH (bf16_3x, ~2e-7 relative)
+# is fp32-grade for this purpose at half the cost of HIGHEST (bf16_6x):
+# full-pipeline sanity is unchanged (RTE/RRE/mutual-match parity measured).
+PRECISION = lax.Precision.HIGH
 
 
 def flatten_vn(x: jnp.ndarray) -> jnp.ndarray:

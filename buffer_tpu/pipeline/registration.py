@@ -78,17 +78,43 @@ def describe_cloud(model: BufferModel, variables, cfg: Config, key,
                                  p.num_points_per_patch)
     delta, rand_axis, R = pe.axis_align(patches, cfg.data.dataset, axes)
     delta = delta / p.des_r
+    desc, equi = _describe_delta(model, variables, cfg, k2, delta)
+    return desc, equi, R
+
+
+def _describe_delta(model: BufferModel, variables, cfg: Config, key, delta):
+    p = cfg.patch
     if cfg.static.fused_desc:
         pooled = pe.fused_point_features(
             variables["Desc"]["params"], variables["Desc"]["batch_stats"],
-            k2, delta, p.rad_n, p.azi_n, p.ele_n,
+            key, delta, p.rad_n, p.azi_n, p.ele_n,
             p.delta / p.rad_n, p.voxel_sample)
-        desc, equi = model.Desc.apply(variables["Desc"], pooled=pooled)
-    else:
-        inv = pe.spt(k2, delta, p.rad_n, p.azi_n, p.ele_n,
-                     p.delta / p.rad_n, p.voxel_sample)
-        desc, equi = model.Desc.apply(variables["Desc"], inv)
-    return desc, equi, R
+        return model.Desc.apply(variables["Desc"], pooled=pooled)
+    inv = pe.spt(key, delta, p.rad_n, p.azi_n, p.ele_n,
+                 p.delta / p.rad_n, p.voxel_sample)
+    return model.Desc.apply(variables["Desc"], inv)
+
+
+def describe_both(model: BufferModel, variables, cfg: Config, keys,
+                  raw, raw_mask, kpts, axes):
+    """MiniSpinNet over BOTH clouds in one batched network pass: patches
+    are extracted per cloud (different support sets), then the aligned
+    patch coordinates are concatenated so the SPT front and cylindrical
+    CNN see one [2K, ...] batch."""
+    p = cfg.patch
+    K = kpts.shape[1]
+    deltas, Rs = [], []
+    for b in range(2):
+        k1, _ = jax.random.split(keys[b])
+        patches = pe.extract_patches(k1, raw[b], raw_mask[b], kpts[b],
+                                     p.des_r, p.num_points_per_patch)
+        delta, _, R = pe.axis_align(patches, cfg.data.dataset, axes[b])
+        deltas.append(delta / p.des_r)
+        Rs.append(R)
+    delta = jnp.concatenate(deltas, axis=0)                  # [2K, S, 3]
+    _, k2 = jax.random.split(keys[0])
+    desc, equi = _describe_delta(model, variables, cfg, k2, delta)
+    return ((desc[:K], equi[:K], Rs[0]), (desc[K:], equi[K:], Rs[1]))
 
 
 def register_pair(model: BufferModel, variables: Dict[str, dict],
@@ -126,13 +152,10 @@ def _register_pair(model: BufferModel, variables: Dict[str, dict],
     kpts = jnp.take_along_axis(inputs.sds, kidx[..., None], axis=1)
     kaxes = jnp.take_along_axis(axis, kidx[..., None], axis=1)
 
-    # 4. descriptors for both clouds
-    s_des, s_equi, s_R = describe_cloud(model, variables, cfg, k_desc0,
-                                        inputs.raw[0], inputs.raw_mask[0],
-                                        kpts[0], kaxes[0])
-    t_des, t_equi, t_R = describe_cloud(model, variables, cfg, k_desc1,
-                                        inputs.raw[1], inputs.raw_mask[1],
-                                        kpts[1], kaxes[1])
+    # 4. descriptors for both clouds (one batched MiniSpinNet pass)
+    ((s_des, s_equi, s_R), (t_des, t_equi, t_R)) = describe_both(
+        model, variables, cfg, (k_desc0, k_desc1),
+        inputs.raw, inputs.raw_mask, kpts, kaxes)
 
     # 5. mutual matching (models/BUFFER.py:283-289)
     m = matching.mutual_matching(s_des, t_des, kvalid[0], kvalid[1])
