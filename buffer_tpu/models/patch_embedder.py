@@ -52,9 +52,18 @@ def extract_patches(
     """Random ``patch_sample``-subset of each keypoint ball; filler slots and
     the final slot carry the keypoint itself (select_patches semantics).
     Returns [K, patch_sample, 3]."""
-    idx, valid = nbr_ops.ball_sample(key, kpts, pts, pts_valid, des_r,
-                                     patch_sample)
-    gathered = jnp.take(pts, idx, axis=0)                       # [K,S,3]
+    N = pts.shape[0]
+    if (jax.default_backend() == "tpu" and patch_sample % 2 == 0
+            and N % (patch_sample // 2) == 0):
+        # fused Pallas path: selection + coordinate extraction in VMEM,
+        # no HBM gather (kernels/geom_pallas.py)
+        from buffer_tpu.kernels.geom_pallas import ball_sample_points_tpu
+        gathered, valid = ball_sample_points_tpu(
+            key, kpts, pts, pts_valid, float(des_r), patch_sample)
+    else:
+        idx, valid = nbr_ops.ball_sample(key, kpts, pts, pts_valid, des_r,
+                                         patch_sample)
+        gathered = jnp.take(pts, idx, axis=0)                   # [K,S,3]
     patches = jnp.where(valid[..., None], gathered, kpts[:, None, :])
     patches = patches.at[:, -1, :].set(kpts)                    # center at -1
     return patches
