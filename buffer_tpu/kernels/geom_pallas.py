@@ -54,57 +54,53 @@ def _sqdist_tile(qt, sp):
     return dx * dx + dy * dy + dz * dz
 
 
-def _ball_kernel(L, NS, r2, q_ref, supT_ref, u_ref, *out_refs):
+def _ball_kernel(L, NS, r2, q_ref, sgrid_ref, u_ref, *out_refs):
+    """Segments live in the LANE dimension: support is pre-transposed to a
+    [L, NS] grid whose column s is the XLA path's contiguous segment s
+    (original index n = s*L + l at [l, s]).  Every reduction (segment max,
+    one-hot coordinate extraction) is then a sublane reduce — no per-segment
+    loop, no cross-lane argmax."""
     (x1_ref, y1_ref, z1_ref, v1_ref, x2_ref, y2_ref, z2_ref, v2_ref) = out_refs
     qt = q_ref[...]                            # [Qt, 3]
     Qt = qt.shape[0]
-    lane = lax.broadcasted_iota(jnp.int32, (Qt, L), 1)
-    out_lane = lax.broadcasted_iota(jnp.int32, (Qt, NS), 1)
+    sx = sgrid_ref[0]                          # [L, NS]
+    sy = sgrid_ref[1]
+    sz = sgrid_ref[2]
+    u = u_ref[0]                               # [L, NS] (-BIG where invalid)
 
-    def body(s, acc):
-        sp = supT_ref[:, pl.ds(s * L, L)]      # [3, L]
-        u = u_ref[:, pl.ds(s * L, L)]          # [1, L] (-BIG where invalid)
-        d2 = _sqdist_tile(qt, sp)              # [Qt, L]
-        score = jnp.where(d2 <= r2, u, -BIG)
+    qx = qt[:, 0][:, None, None]
+    qy = qt[:, 1][:, None, None]
+    qz = qt[:, 2][:, None, None]
+    dx = qx - sx[None]
+    dy = qy - sy[None]
+    dz = qz - sz[None]
+    d2 = dx * dx + dy * dy + dz * dz           # [Qt, L, NS]
+    score = jnp.where(d2 <= r2, u[None], -BIG)
 
-        m1 = jnp.max(score, axis=1)            # [Qt]
-        a1 = jnp.argmax(score, axis=1)
-        oh1 = lane == a1[:, None]
-        score2 = jnp.where(oh1, -BIG, score)
-        m2 = jnp.max(score2, axis=1)
-        a2 = jnp.argmax(score2, axis=1)
-        oh2 = lane == a2[:, None]
+    def rank(sc):
+        m = jnp.max(sc, axis=1)                # [Qt, NS]
+        oh = (sc == m[:, None, :]).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(oh, axis=1), 1.0)   # ties -> mean (rare)
+        x = jnp.sum(oh * sx[None], axis=1) / cnt
+        y = jnp.sum(oh * sy[None], axis=1) / cnt
+        z = jnp.sum(oh * sz[None], axis=1) / cnt
+        return m, oh, x, y, z
 
-        ohf1 = oh1.astype(jnp.float32)
-        ohf2 = oh2.astype(jnp.float32)
-        cols = (
-            jnp.sum(ohf1 * sp[0][None, :], axis=1),
-            jnp.sum(ohf1 * sp[1][None, :], axis=1),
-            jnp.sum(ohf1 * sp[2][None, :], axis=1),
-            (m1 > -BIG / 2).astype(jnp.float32),
-            jnp.sum(ohf2 * sp[0][None, :], axis=1),
-            jnp.sum(ohf2 * sp[1][None, :], axis=1),
-            jnp.sum(ohf2 * sp[2][None, :], axis=1),
-            (m2 > -BIG / 2).astype(jnp.float32),
-        )
-        # scatter each segment's column into the [Qt, NS] accumulators via
-        # a lane mask (dynamic single-lane stores lower poorly on TPU)
-        sel = (out_lane == s).astype(jnp.float32)
-        return tuple(a + sel * c[:, None] for a, c in zip(acc, cols))
+    m1, oh1, x1, y1, z1 = rank(score)
+    score2 = score - oh1 * (2.0 * BIG)         # knock out the winner
+    m2, _, x2, y2, z2 = rank(score2)
 
-    init = tuple(jnp.zeros((Qt, NS), jnp.float32) for _ in range(8))
-    acc = lax.fori_loop(0, NS, body, init)
-    x1_ref[...] = acc[0]
-    y1_ref[...] = acc[1]
-    z1_ref[...] = acc[2]
-    v1_ref[...] = acc[3] > 0.5
-    x2_ref[...] = acc[4]
-    y2_ref[...] = acc[5]
-    z2_ref[...] = acc[6]
-    v2_ref[...] = acc[7] > 0.5
+    x1_ref[...] = x1
+    y1_ref[...] = y1
+    z1_ref[...] = z1
+    v1_ref[...] = m1 > -BIG / 2
+    x2_ref[...] = x2
+    y2_ref[...] = y2
+    z2_ref[...] = z2
+    v2_ref[...] = m2 > -BIG / 2
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "k", "q_tile", "seg_group"))
+@functools.partial(jax.jit, static_argnames=("radius", "k", "q_tile"))
 def ball_sample_points_tpu(
     key: jax.Array,
     query: jnp.ndarray,          # [Q, 3]
@@ -112,8 +108,7 @@ def ball_sample_points_tpu(
     support_valid: jnp.ndarray,  # [N] bool
     radius: float,
     k: int,
-    q_tile: int = 128,
-    seg_group: int = 32,
+    q_tile: int = 8,             # [Qt, L, NS] fp32 intermediates live in VMEM
 ) -> tuple:
     """Fused ball_sample + coordinate gather.
 
@@ -130,8 +125,10 @@ def ball_sample_points_tpu(
     L = N // NS
 
     prio = jax.random.uniform(key, (N,), dtype=jnp.float32)
-    u = jnp.where(support_valid, prio, -BIG)[None, :]            # [1, N]
-    supT = support.T                                             # [3, N]
+    u = jnp.where(support_valid, prio, -BIG)
+    # [L, NS] grids: column s = contiguous segment s of the XLA path
+    sgrid = support.T.reshape(3, NS, L).transpose(0, 2, 1)       # [3, L, NS]
+    ugrid = u.reshape(1, NS, L).transpose(0, 2, 1)               # [1, L, NS]
 
     Qp = _round_up(Q, q_tile)
     qpad = jnp.pad(query, ((0, Qp - Q), (0, 0)))
@@ -147,13 +144,15 @@ def ball_sample_points_tpu(
         in_specs=[
             pl.BlockSpec((q_tile, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, L, NS), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, NS), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(out_spec,) * 8,
         out_shape=(out_sd, out_sd, out_sd, out_sdb,
                    out_sd, out_sd, out_sd, out_sdb),
-    )(qpad, supT, u)
+    )(qpad, sgrid, ugrid)
     x1, y1, z1, v1, x2, y2, z2, v2 = outs
     p1 = jnp.stack([x1, y1, z1], axis=-1)[:Q]                    # [Q, NS, 3]
     p2 = jnp.stack([x2, y2, z2], axis=-1)[:Q]
@@ -226,3 +225,113 @@ def nearest_tpu(
                    jax.ShapeDtypeStruct((Qp, 1), jnp.int32)),
     )(qpad, supT, vmask)
     return d[:Q, 0], i[:Q, 0]
+
+
+# ---------------------------------------------------------------------------
+# fused SPT front: per-anchor thinned masked-max of folded point-MLP features
+# ---------------------------------------------------------------------------
+
+
+def _spt_kernel(S, G, AZ, r2, vs, dT_ref, W_ref, b_ref, f0_ref, u_ref,
+                anc_ref, out_ref):
+    """One keypoint per grid step.
+
+    dT_ref  [1, 3, S]   patch coords (transposed)
+    W_ref   [AZ*16, 3]  azimuth-derotated folded point-MLP weights
+    b_ref   [AZ*16, 1]  folded bias
+    f0_ref  [16, 1]     feature of an empty/zero sample slot
+    u_ref   [1, S]      shared per-point uniforms (thinning)
+    anc_ref [AZ*G, 3]   cylindrical anchors, azimuth-major
+    out_ref [1, 16, AZ, G]
+    """
+    dT = dT_ref[0]                                   # [3, S]
+    px, py, pz = dT[0:1, :], dT[1:2, :], dT[2:3, :]  # [1, S]
+    u = u_ref[...]                                   # [1, S]
+
+    # folded point-MLP features for every azimuth variant: [AZ*16, S]
+    feats = jnp.maximum(
+        jnp.dot(W_ref[...], dT, preferred_element_type=jnp.float32)
+        + b_ref[...], 0.0)
+
+    # exact fp32 anchor-to-point distances (bf16 MXU error ~1e-2 would
+    # flip a wide shell of in-ball memberships; see _sqdist_tile)
+    ax = anc_ref[:, 0:1]
+    ay = anc_ref[:, 1:2]
+    az = anc_ref[:, 2:3]
+    d2 = ((ax - px) ** 2 + (ay - py) ** 2 + (az - pz) ** 2)   # [AZ*G, S]
+    in_ball = d2 <= r2
+    count = jnp.sum(in_ball.astype(jnp.float32), axis=1, keepdims=True)
+    th = vs / jnp.maximum(count, 1.0)                # [AZ*G, 1]
+    keep = in_ball & (u <= th)                       # [AZ*G, S]
+
+    f0 = f0_ref[...]                                 # [16, 1]
+    # additive -BIG penalty instead of a boolean select: Mosaic cannot
+    # relayout a broadcast i1 mask against the value tiles
+    pen = (keep.astype(jnp.float32) - 1.0) * BIGF_K  # [AZ*G, S]
+    for a in range(AZ):
+        fa = feats[a * 16:(a + 1) * 16, :]           # [16, S]
+        pa = pen[a * G:(a + 1) * G, :]               # [G, S]
+        big = fa[:, None, :] + pa[None, :, :]
+        out = jnp.max(big, axis=2)                   # [16, G]
+        cnt = count[a * G:(a + 1) * G, 0][None, :]   # [1, G]
+        out = jnp.where(cnt < vs, jnp.maximum(out, f0), out)
+        out = jnp.where(cnt == 0.0, jnp.broadcast_to(f0, out.shape), out)
+        out_ref[0, :, a, :] = out
+
+
+BIGF_K = 1e4  # bf16-representable sentinel for the masked max
+
+
+@functools.partial(jax.jit, static_argnames=("rad_n", "azi_n", "ele_n",
+                                              "voxel_r", "voxel_sample"))
+def spt_pooled_tpu(
+    W_all: jnp.ndarray,          # [AZ, 3, 16] derotated folded MLP weights
+    b_eff: jnp.ndarray,          # [16]
+    f0: jnp.ndarray,             # [16]
+    u: jnp.ndarray,              # [S] shared uniforms
+    delta_x: jnp.ndarray,        # [K, S, 3]
+    rad_n: int, azi_n: int, ele_n: int,
+    voxel_r: float, voxel_sample: int,
+) -> jnp.ndarray:
+    """Fused SPT + point-MLP + per-anchor thinned masked-max (the whole
+    gather-free descriptor front of ``patch_embedder.fused_point_features``)
+    in one VMEM-resident kernel per keypoint.  Returns the pooled map
+    [K, rad_n, ele_n, azi_n, 16]."""
+    from buffer_tpu.core import gridmath
+
+    K, S, _ = delta_x.shape
+    AZ = azi_n
+    G = rad_n * ele_n
+    anchors = jnp.asarray(
+        gridmath.get_voxel_coordinate(1.0, rad_n, azi_n, ele_n)
+        .reshape(-1, 3), jnp.float32)                # [(g)*AZ + a, 3]
+    anc_azi_major = anchors.reshape(G, AZ, 3).transpose(1, 0, 2).reshape(-1, 3)
+
+    WT = W_all.transpose(0, 2, 1).reshape(AZ * 16, 3)          # row a*16+c
+    b_col = jnp.tile(b_eff, AZ)[:, None]                       # [AZ*16, 1]
+    dT = jnp.swapaxes(delta_x, 1, 2)                           # [K, 3, S]
+
+    out = pl.pallas_call(
+        functools.partial(_spt_kernel, S, G, AZ,
+                          float(voxel_r) ** 2, float(voxel_sample)),
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, 3, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((AZ * 16, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((AZ * 16, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((AZ * G, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, AZ, G), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, 16, AZ, G), jnp.float32),
+    )(dT, WT, b_col, f0[:, None], u[None, :], anc_azi_major)
+
+    # [K, 16, AZ, G] -> [K, G, AZ, 16] -> [K, rad, ele, azi, 16]
+    pooled = out.transpose(0, 3, 2, 1)
+    return pooled.reshape(K, rad_n, ele_n, azi_n, 16)

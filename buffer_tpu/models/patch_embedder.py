@@ -229,14 +229,23 @@ def fused_point_features(
     W_all = jnp.einsum("aji,jc->aic", R, W_eff)  # W_a = R_a^T @ W_eff [20,3,16]
     f0 = jax.nn.relu(b_eff)                      # feature of a zero slot
 
+    K, S, _ = delta_x.shape
+    u = jax.random.uniform(key, (S,))
+
+    if jax.default_backend() == "tpu":
+        # single VMEM-resident kernel per keypoint: no [c,G,azi,S,16]
+        # broadcast ever reaches HBM (kernels/geom_pallas.py)
+        from buffer_tpu.kernels.geom_pallas import spt_pooled_tpu
+        return spt_pooled_tpu(W_all, b_eff, f0, u, delta_x,
+                              rad_n, azi_n, ele_n,
+                              float(voxel_r), int(voxel_sample))
+
     anchors = jnp.asarray(
         gridmath.get_voxel_coordinate(1.0, rad_n, azi_n, ele_n)
         .reshape(-1, 3), delta_x.dtype)          # [A, 3], index = (r*ele+e)*azi+a
     A = anchors.shape[0]
     G = A // azi_n                               # anchor groups (rad*ele)
-    K, S, _ = delta_x.shape
     r2 = voxel_r * voxel_r
-    u = jax.random.uniform(key, (S,))
     a2 = jnp.sum(anchors * anchors, axis=-1)
 
     def per_block(block):                        # [c, S, 3]

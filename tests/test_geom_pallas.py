@@ -30,7 +30,7 @@ def test_ball_sample_points_matches_xla():
     key = jax.random.PRNGKey(3)
 
     pts, v = gp.ball_sample_points_tpu.__wrapped__(
-        key, q, sup, valid, 0.9, k, q_tile=16)
+        key, q, sup, valid, 0.9, k, q_tile=8)
     idx, v_ref = nb.ball_sample(key, q, sup, valid, 0.9, k)
     ref_pts = jnp.take(sup, idx, axis=0)
 
