@@ -232,54 +232,66 @@ def nearest_tpu(
 # ---------------------------------------------------------------------------
 
 
-def _spt_kernel(S, G, AZ, r2, vs, dT_ref, W_ref, b_ref, f0_ref, u_ref,
-                anc_ref, out_ref):
-    """One keypoint per grid step.
+def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, block_ref, Wx_ref, Wy_ref,
+                Wz_ref, b_ref, f0_ref, u_ref, anc_ref, out_ref):
+    """Kt keypoints per grid step; stratified sampled-SPT semantics.
 
-    dT_ref  [1, 3, S]   patch coords (transposed)
-    W_ref   [AZ*16, 3]  azimuth-derotated folded point-MLP weights
-    b_ref   [AZ*16, 1]  folded bias
-    f0_ref  [16, 1]     feature of an empty/zero sample slot
-    u_ref   [1, S]      shared per-point uniforms (thinning)
-    anc_ref [AZ*G, 3]   cylindrical anchors, azimuth-major
-    out_ref [1, 16, AZ, G]
+    For each cylindrical anchor, take the top-random-priority in-ball point
+    of each of NUSE contiguous 32-point patch segments (<= NUSE random ball
+    samples — the TPU analog of sphere_query's "first voxel_sample of a
+    shuffled patch", utils/common.py:431-469), run the folded azimuth-
+    derotated point-MLP on just those samples, and max-pool; empty slots
+    contribute f0 exactly like the reference's zero-filled slots.
+
+    block_ref [Kt, S, 3]   patch coords (natural layout)
+    Wx/Wy/Wz  [16, A]      folded MLP weight rows, azimuth-expanded per anchor
+    b_ref     [16, 1]      folded bias
+    f0_ref    [16, 1]      feature of a zero sample slot
+    u_ref     [S, 1]       shared per-slot random priorities
+    anc_ref   [3, A]       cylindrical anchors (azimuth-major columns)
+    out_ref   [Kt, 16, A]
     """
-    dT = dT_ref[0]                                   # [3, S]
-    px, py, pz = dT[0:1, :], dT[1:2, :], dT[2:3, :]  # [1, S]
-    u = u_ref[...]                                   # [1, S]
+    LS = S // NSEG
+    ax = anc_ref[0:1, :]                            # [1, A]
+    ay = anc_ref[1:2, :]
+    az = anc_ref[2:3, :]
+    u = u_ref[...]                                  # [S, 1]
+    b = b_ref[...]                                  # [16, 1]
+    f0 = f0_ref[...]                                # [16, 1]
+    Wx = Wx_ref[...]                                # [16, A]
+    Wy = Wy_ref[...]
+    Wz = Wz_ref[...]
 
-    # folded point-MLP features for every azimuth variant: [AZ*16, S]
-    feats = jnp.maximum(
-        jnp.dot(W_ref[...], dT, preferred_element_type=jnp.float32)
-        + b_ref[...], 0.0)
+    for kt in range(Kt):
+        blk = block_ref[kt]                         # [S, 3]
+        px = blk[:, 0:1]                            # [S, 1]
+        py = blk[:, 1:2]
+        pz = blk[:, 2:3]
+        d2 = ((px - ax) ** 2 + (py - ay) ** 2 + (pz - az) ** 2)   # [S, A]
+        score = jnp.where(d2 <= r2, u, -BIG)        # [S, A]
 
-    # exact fp32 anchor-to-point distances (bf16 MXU error ~1e-2 would
-    # flip a wide shell of in-ball memberships; see _sqdist_tile)
-    ax = anc_ref[:, 0:1]
-    ay = anc_ref[:, 1:2]
-    az = anc_ref[:, 2:3]
-    d2 = ((ax - px) ** 2 + (ay - py) ** 2 + (az - pz) ** 2)   # [AZ*G, S]
-    in_ball = d2 <= r2
-    count = jnp.sum(in_ball.astype(jnp.float32), axis=1, keepdims=True)
-    th = vs / jnp.maximum(count, 1.0)                # [AZ*G, 1]
-    keep = in_ball & (u <= th)                       # [AZ*G, S]
+        # top-1 random priority per 32-point segment: sublane split is free
+        s3 = score.reshape(NSEG, LS, -1)            # [NSEG, LS, A]
+        m = jnp.max(s3, axis=1)                     # [NSEG, A]
+        oh = (s3 == m[:, None, :]).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(oh, axis=1), 1.0)
+        xs = jnp.sum(oh * px.reshape(NSEG, LS, 1), axis=1) / cnt
+        ys = jnp.sum(oh * py.reshape(NSEG, LS, 1), axis=1) / cnt
+        zs = jnp.sum(oh * pz.reshape(NSEG, LS, 1), axis=1) / cnt
+        A_ = m.shape[-1]
+        vf = (m[:NUSE] > -BIG / 2).astype(jnp.float32).reshape(NUSE, 1, A_)
+        xs3 = xs[:NUSE].reshape(NUSE, 1, A_)
+        ys3 = ys[:NUSE].reshape(NUSE, 1, A_)
+        zs3 = zs[:NUSE].reshape(NUSE, 1, A_)
 
-    f0 = f0_ref[...]                                 # [16, 1]
-    # additive -BIG penalty instead of a boolean select: Mosaic cannot
-    # relayout a broadcast i1 mask against the value tiles
-    pen = (keep.astype(jnp.float32) - 1.0) * BIGF_K  # [AZ*G, S]
-    for a in range(AZ):
-        fa = feats[a * 16:(a + 1) * 16, :]           # [16, S]
-        pa = pen[a * G:(a + 1) * G, :]               # [G, S]
-        big = fa[:, None, :] + pa[None, :, :]
-        out = jnp.max(big, axis=2)                   # [16, G]
-        cnt = count[a * G:(a + 1) * G, 0][None, :]   # [1, G]
-        out = jnp.where(cnt < vs, jnp.maximum(out, f0), out)
-        out = jnp.where(cnt == 0.0, jnp.broadcast_to(f0, out.shape), out)
-        out_ref[0, :, a, :] = out
-
-
-BIGF_K = 1e4  # bf16-representable sentinel for the masked max
+        # folded azimuth-derotated point-MLP on the NUSE winners
+        feats = jnp.maximum(
+            xs3 * Wx.reshape(1, 16, A_) + ys3 * Wy.reshape(1, 16, A_)
+            + zs3 * Wz.reshape(1, 16, A_) + b.reshape(1, 16, 1),
+            0.0)                                                  # [NUSE,16,A]
+        # empty slots carry f0 (reference zero-fill through relu(bn(0)))
+        feats = feats * vf + f0.reshape(1, 16, 1) * (1.0 - vf)
+        out_ref[kt, :, :] = jnp.max(feats, axis=0)  # [16, A]
 
 
 @functools.partial(jax.jit, static_argnames=("rad_n", "azi_n", "ele_n",
@@ -293,45 +305,61 @@ def spt_pooled_tpu(
     rad_n: int, azi_n: int, ele_n: int,
     voxel_r: float, voxel_sample: int,
 ) -> jnp.ndarray:
-    """Fused SPT + point-MLP + per-anchor thinned masked-max (the whole
-    gather-free descriptor front of ``patch_embedder.fused_point_features``)
-    in one VMEM-resident kernel per keypoint.  Returns the pooled map
-    [K, rad_n, ele_n, azi_n, 16]."""
+    """Fused sampled-SPT + point-MLP + sample-max descriptor front in one
+    VMEM-resident kernel per keypoint block.  Per anchor, <= voxel_sample
+    stratified random ball samples (top random priority of voxel_sample
+    contiguous patch segments) are MLP'd and max-pooled — the same
+    "random <=10-subset of the ball, zero-filled slots" statistics as the
+    reference sphere_query path.  Returns [K, rad_n, ele_n, azi_n, 16]."""
     from buffer_tpu.core import gridmath
 
     K, S, _ = delta_x.shape
     AZ = azi_n
     G = rad_n * ele_n
+    A = AZ * G
+    NSEG = max(voxel_sample, -(-S // 256))   # segment count >= voxel_sample
+    while S % NSEG:
+        NSEG += 1
+    NUSE = min(voxel_sample, NSEG)
+
     anchors = jnp.asarray(
         gridmath.get_voxel_coordinate(1.0, rad_n, azi_n, ele_n)
         .reshape(-1, 3), jnp.float32)                # [(g)*AZ + a, 3]
     anc_azi_major = anchors.reshape(G, AZ, 3).transpose(1, 0, 2).reshape(-1, 3)
 
-    WT = W_all.transpose(0, 2, 1).reshape(AZ * 16, 3)          # row a*16+c
-    b_col = jnp.tile(b_eff, AZ)[:, None]                       # [AZ*16, 1]
-    dT = jnp.swapaxes(delta_x, 1, 2)                           # [K, 3, S]
+    # weight row per anchor column (azimuth-major: column a*G+g uses W_all[a])
+    Wrows = jnp.repeat(W_all, G, axis=0)             # [A, 3, 16]
+    Wx = Wrows[:, 0, :].T                            # [16, A]
+    Wy = Wrows[:, 1, :].T
+    Wz = Wrows[:, 2, :].T
+
+    Kt = 4
+    Kp = _round_up(K, Kt)
+    blocks = delta_x
+    if Kp != K:
+        blocks = jnp.pad(blocks, ((0, Kp - K), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_spt_kernel, S, G, AZ,
-                          float(voxel_r) ** 2, float(voxel_sample)),
-        grid=(K,),
+        functools.partial(_spt_kernel, S, A, NSEG, NUSE, Kt,
+                          float(voxel_r) ** 2),
+        grid=(Kp // Kt,),
         in_specs=[
-            pl.BlockSpec((1, 3, S), lambda i: (i, 0, 0),
+            pl.BlockSpec((Kt, S, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((AZ * 16, 3), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((AZ * 16, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((AZ * G, 3), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 16, AZ, G), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((Kt, 16, A), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, 16, AZ, G), jnp.float32),
-    )(dT, WT, b_col, f0[:, None], u[None, :], anc_azi_major)
+        out_shape=jax.ShapeDtypeStruct((Kp, 16, A), jnp.float32),
+    )(blocks, Wx, Wy, Wz, b_eff[:, None], f0[:, None], u[:, None],
+      anc_azi_major.T)
 
-    # [K, 16, AZ, G] -> [K, G, AZ, 16] -> [K, rad, ele, azi, 16]
-    pooled = out.transpose(0, 3, 2, 1)
+    # [K, 16, A(=AZ*G)] -> [K, G, AZ, 16] -> [K, rad, ele, azi, 16]
+    pooled = out[:K].reshape(K, 16, AZ, G).transpose(0, 3, 2, 1)
     return pooled.reshape(K, rad_n, ele_n, azi_n, 16)

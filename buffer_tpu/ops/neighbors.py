@@ -147,9 +147,17 @@ def _radius_knn_approx(query, support, support_valid, k, radius,
         bad = ~support_valid[None, :]
         if r2 is not None:
             bad = bad | (d2 > r2)
-        score = jnp.where(bad, -BIG, -d2)
+        # the [Q, S] score field is the dominant HBM traffic of the whole
+        # pyramid build; bf16 halves it (the elementwise epilogue + convert
+        # fuse into the matmul, so only bf16 ever hits HBM).  Selection
+        # order and returned distances jitter by bf16's ~0.4% relative —
+        # callers only threshold the distances (radius masks), and neighbor
+        # sets feed mean-pools, so this is in the same noise class as the
+        # 0.95 recall target.
+        score = jnp.where(bad, jnp.bfloat16(-BIG), -d2.astype(jnp.bfloat16))
         vals, idx = lax.approx_max_k(score, k, recall_target=recall_target)
-        return jnp.maximum(-vals, 0.0), idx.astype(jnp.int32), vals > -BIG / 2
+        d = jnp.maximum(-vals.astype(jnp.float32), 0.0)
+        return d, idx.astype(jnp.int32), vals > jnp.bfloat16(-BIG / 2)
 
     if Q <= query_chunk:
         return one_chunk(query)

@@ -57,3 +57,50 @@ def test_nearest_matches_numpy():
         q_tile=16, seg=128)
     assert (np.asarray(i) == i_np).all()
     np.testing.assert_allclose(np.asarray(d), d2.min(1), rtol=1e-4, atol=1e-6)
+
+
+def test_spt_pooled_matches_numpy_emulation():
+    """Stratified sampled-SPT kernel vs a direct numpy emulation of its
+    spec: per anchor, the top-priority in-ball point of each of the first
+    voxel_sample segments, folded-MLP'd and max-pooled with f0 fill."""
+    rs = np.random.RandomState(2)
+    K, S = 3, 64
+    rad_n, azi_n, ele_n, vs = 2, 4, 3, 4
+    voxel_r = 0.4
+    delta = (rs.randn(K, S, 3) * 0.4).astype(np.float32)
+    W_all = (rs.randn(azi_n, 3, 16) * 0.5).astype(np.float32)
+    b = rs.randn(16).astype(np.float32)
+    f0 = np.maximum(b, 0.0)
+    u = rs.rand(S).astype(np.float32)
+
+    from buffer_tpu.core import gridmath
+    pooled = gp.spt_pooled_tpu.__wrapped__(
+        jnp.asarray(W_all), jnp.asarray(b), jnp.asarray(f0), jnp.asarray(u),
+        jnp.asarray(delta), rad_n, azi_n, ele_n, voxel_r, vs)
+    pooled = np.asarray(pooled)                       # [K,rad,ele,azi,16]
+
+    anchors = gridmath.get_voxel_coordinate(
+        1.0, rad_n, azi_n, ele_n).reshape(-1, 3)      # [(g)*azi + a, 3]
+    G = rad_n * ele_n
+    NSEG = max(vs, 1)
+    while S % NSEG:
+        NSEG += 1
+    LS = S // NSEG
+    for k in range(K):
+        for gi in range(G):
+            for a in range(azi_n):
+                anc = anchors[gi * azi_n + a]
+                feats = []
+                for seg in range(vs):
+                    sl = slice(seg * LS, (seg + 1) * LS)
+                    d2 = ((delta[k, sl] - anc) ** 2).sum(-1)
+                    inb = d2 <= voxel_r ** 2
+                    if not inb.any():
+                        feats.append(f0)   # empty slot = zero-fill -> f0
+                        continue
+                    cand = np.where(inb, u[sl], -1e18)
+                    p = delta[k, sl][cand.argmax()]
+                    feats.append(np.maximum(W_all[a].T @ p + b, 0.0))
+                want = np.max(np.stack(feats), axis=0)
+                got = pooled[k, gi // ele_n, gi % ele_n, a]
+                np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
