@@ -90,10 +90,19 @@ def main():
 
     def run_n(n):
         def f(variables, inputs, key):
-            def body(c, k):
-                r = register_pair(model, variables, inputs, k)
+            def body(c, inp):
+                k, i = inp
+                # perturb every point input per iteration: without this,
+                # XLA hoists the (loop-invariant) pyramid/EFCNN work out of
+                # the scan and the bench overstates throughput
+                eps = i.astype(jnp.float32) * 1e-12
+                jogged = inputs._replace(
+                    raw=inputs.raw + eps, sds=inputs.sds + eps,
+                    lvl1=inputs.lvl1 + eps, lvl2=inputs.lvl2 + eps)
+                r = register_pair(model, variables, jogged, k)
                 return c, (r.pose, r.num_mutual)
-            _, (poses, nm) = jax.lax.scan(body, 0, jax.random.split(key, n))
+            _, (poses, nm) = jax.lax.scan(
+                body, 0, (jax.random.split(key, n), jnp.arange(n)))
             return poses, nm
         return jax.jit(f)
 

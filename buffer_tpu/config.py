@@ -150,6 +150,11 @@ class StaticConfig:
     normal_knn: int = 30
     # chunk size for tiled distance computations on device
     knn_chunk: int = 4096
+    # half-width of the rank window for banded neighbor search on
+    # Morton-ordered clouds (data/preprocess.morton_sort); 0 disables.
+    # Ignored automatically when 2*band >= support size, so tiny test
+    # configs and unsorted inputs fall back to the full search.
+    knn_band: int = 3072
     # inference descriptor front-end: gather-free fused SPT (True) vs the
     # reference-exact sampled SPT (False); training always uses sampled
     fused_desc: bool = True

@@ -19,6 +19,25 @@ from buffer_tpu.config import Config
 from buffer_tpu.kernels.host import voxel_subsample_host
 
 
+def morton_sort(pts: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Order points along a Z-order (Morton) curve.
+
+    Spatially close points land close in index order, so the on-device
+    neighbor search only scans a rank window (ops/neighbors.py banded
+    path) instead of the full O(N^2) distance field.  Point order carries
+    no semantics downstream (FPS/sampling are order-randomized anyway)."""
+    if len(pts) == 0:
+        return pts
+    lo = pts.min(axis=0)
+    span = pts.max(axis=0) - lo + 1e-9
+    q = ((pts - lo) / span * (2 ** bits - 1)).astype(np.uint32)
+    code = np.zeros(len(pts), np.uint64)
+    for b in range(bits):
+        for d in range(3):
+            code |= ((q[:, d] >> b) & 1).astype(np.uint64) << np.uint64(3 * b + d)
+    return pts[np.argsort(code, kind="stable")]
+
+
 def pad_cloud(pts: np.ndarray, n: int, rs: Optional[np.random.RandomState] = None
               ) -> Tuple[np.ndarray, np.ndarray]:
     """Cap (random subset, like max_numPts handling in
@@ -66,6 +85,11 @@ def prepare_pair(
 
     s_fds, s_sds = stage(src_raw)
     t_fds, t_sds = stage(tgt_raw)
+    # Morton-order the point-learner clouds so the on-device neighbor
+    # search can run rank-banded (raw clouds stay shuffled: the ball
+    # sampler's segment statistics rely on random order)
+    s_sds = morton_sort(s_sds)
+    t_sds = morton_sort(t_sds)
     r0, m0 = pad_cloud(s_fds, st.raw_points, rs)
     r1, m1 = pad_cloud(t_fds, st.raw_points, rs)
     s0, n0 = pad_cloud(s_sds, st.points_l0, rs)
@@ -74,8 +98,8 @@ def prepare_pair(
     # deterministic pyramid levels via the native grid subsampler (kills a
     # pathologically slow 30k-element device sort; see pipeline/pyramid.py)
     def levels(sds):
-        l1 = voxel_subsample_host(sds, 2 * cfg.data.voxel_size_0)
-        l2 = voxel_subsample_host(l1, 4 * cfg.data.voxel_size_0)
+        l1 = morton_sort(voxel_subsample_host(sds, 2 * cfg.data.voxel_size_0))
+        l2 = morton_sort(voxel_subsample_host(l1, 4 * cfg.data.voxel_size_0))
         return l1, l2
     sl1, sl2 = levels(s_sds)
     tl1, tl2 = levels(t_sds)

@@ -363,3 +363,167 @@ def spt_pooled_tpu(
     # [K, 16, A(=AZ*G)] -> [K, G, AZ, 16] -> [K, rad, ele, azi, 16]
     pooled = out[:K].reshape(K, 16, AZ, G).transpose(0, 3, 2, 1)
     return pooled.reshape(K, rad_n, ele_n, azi_n, 16)
+
+
+# ---------------------------------------------------------------------------
+# banded radius-kNN: top-2-nearest per rank segment + exact small top-k
+# ---------------------------------------------------------------------------
+
+
+def _bknn_kernel(LW, NSg, Qt, NR, r2, q_ref, ratio_ref, tid_ref, gx_ref,
+                 gy_ref, gz_ref, gv_ref, k1_ref, k2_ref):
+    """Per query tile: the 2 nearest valid support points of each of NSg
+    STRIDE-INTERLEAVED rank segments in the tile's window.
+
+    Support is pre-gridded [NR, NSg] row-major (grid[r, s] = rank
+    r*NSg + s), so segment s = {ranks congruent to s mod NSg}.  On a
+    Morton-ordered cloud the true k-NN occupy CONSECUTIVE ranks — a
+    contiguous-block segmentation packs them into one or two segments and
+    the per-segment top-2 discards them (measured 27% 30-NN recall); the
+    mod-NSg interleave spreads them uniformly (3+ collisions in one
+    segment are rare birthday events, ~98-99% recall).
+
+    The window is an 8-aligned sublane slice of LW grid rows (= LW*NSg
+    ranks); every reduction is a sublane reduce.
+    """
+    ratio = ratio_ref[0, 0]
+    # tile index rides as an input: program_id is unreliable under vmap
+    i = tid_ref[0, 0, 0].astype(jnp.float32)
+    center = (i * Qt + Qt / 2) * ratio              # support rank
+    row = center / NSg
+    r0 = jnp.clip(((row / 8.0 + 0.5).astype(jnp.int32)) * 8 - LW // 2,
+                  0, max(NR - LW, 0))
+    r0 = pl.multiple_of(r0, 8)
+
+    qt = q_ref[...]                                  # [Qt, 3]
+    sx = gx_ref[pl.ds(r0, LW), :]                    # [LW, NSg]
+    sy = gy_ref[pl.ds(r0, LW), :]
+    sz = gz_ref[pl.ds(r0, LW), :]
+    sv = gv_ref[pl.ds(r0, LW), :]
+
+    qx = qt[:, 0][:, None, None]
+    qy = qt[:, 1][:, None, None]
+    qz = qt[:, 2][:, None, None]
+    dx = qx - sx[None]
+    dy = qy - sy[None]
+    dz = qz - sz[None]
+    d2 = dx * dx + dy * dy + dz * dz                 # [Qt, LW, NSg]
+    d2 = d2 + (1.0 - sv)[None] * BIG                 # invalid -> huge
+
+    rowi = lax.broadcasted_iota(jnp.int32, (Qt, LW, NSg), 1).astype(jnp.float32)
+
+    def rank(d):
+        m = jnp.min(d, axis=1)                       # [Qt, NSg]
+        oh = (d == m[:, None, :]).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(oh, axis=1), 1.0)
+        r = jnp.sum(oh * rowi, axis=1) / cnt         # window row of winner
+        return m, oh, r
+
+    m1, oh1, r1 = rank(d2)
+    d2b = d2 + oh1 * (2.0 * BIG)
+    m2, _, r2_ = rank(d2b)
+
+    col = lax.broadcasted_iota(jnp.int32, (Qt, NSg), 1)
+    base = r0 * NSg + col
+    i1 = base + r1.astype(jnp.int32) * NSg
+    i2 = base + r2_.astype(jnp.int32) * NSg
+
+    # Pack the support index into the low 15 mantissa bits of the fp32
+    # squared distance: the int32 view of a non-negative float is order-
+    # preserving, so one approx_max_k over the packed keys OUTSIDE the
+    # kernel selects the k nearest AND carries their indices — no top_k
+    # sort, no take_along_axis row gather (those cost ~80 ms/pair).
+    # Distances lose 15 mantissa bits (~0.02% relative): threshold-only
+    # consumers.
+    def pack(m, idx):
+        if r2 is not None:
+            m = jnp.where(m <= r2, m, BIG)
+        mi = pltpu.bitcast(m, jnp.int32)
+        return pltpu.bitcast((mi & ~0x7FFF) | idx, jnp.float32)
+
+    k1_ref[...] = pack(m1, i1)
+    k2_ref[...] = pack(m2, i2)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "radius", "band", "q_tile",
+                                              "win_rows", "n_segs"))
+def banded_knn_tpu(
+    query: jnp.ndarray,          # [Q, 3] Morton-ordered
+    support: jnp.ndarray,        # [S, 3] Morton-ordered (same curve)
+    support_valid: jnp.ndarray,  # [S] bool
+    query_valid: jnp.ndarray,    # [Q] bool
+    k: int,
+    radius,                      # float or None
+    band: int = 3072,
+    q_tile: int = 8,
+    win_rows: int = 32,
+    n_segs: int = 256,
+) -> tuple:
+    """Rank-banded radius-kNN, Pallas edition.
+
+    Stage A (kernel): 2 nearest support points per stride-interleaved rank
+    segment of the query tile's window (win_rows*n_segs = 8192 ranks) —
+    2*n_segs exact-fp32 candidates per query, all reductions in VMEM.
+    Stage B (XLA): exact ``lax.top_k`` of the k nearest in-radius
+    candidates on the small [Q, 2*n_segs] field.
+
+    Returns (sqdist [Q,k], idx [Q,k], valid [Q,k]) distance-sorted — the
+    same contract as :func:`ops.neighbors.radius_knn`.
+    """
+    Q = query.shape[0]
+    S = support.shape[0]
+    LW = win_rows
+    NSg = n_segs
+    NR = -(-S // NSg)
+    Sp = NR * NSg
+    sup = jnp.pad(support, ((0, Sp - S), (0, 0)))
+    sv = jnp.pad(support_valid.astype(jnp.float32), (0, Sp - S))
+    # row-major [NR, NSg] grids: grid[r, s] = rank r*NSg + s
+    gx = sup[:, 0].reshape(NR, NSg)
+    gy = sup[:, 1].reshape(NR, NSg)
+    gz = sup[:, 2].reshape(NR, NSg)
+    gv = sv.reshape(NR, NSg)
+
+    Qp = _round_up(Q, q_tile)
+    qpad = jnp.pad(query, ((0, Qp - Q), (0, 0)))
+    n_tiles = Qp // q_tile
+
+    # rank->rank ratio of the VALID counts (padding sits at the end of
+    # both sorted arrays); the kernel derives its window start from it
+    qn = jnp.maximum(jnp.sum(query_valid.astype(jnp.float32)), 1.0)
+    sn = jnp.maximum(jnp.sum(support_valid.astype(jnp.float32)), 1.0)
+    ratio = jnp.full((8, 128), sn / qn, jnp.float32)
+    tids = jnp.broadcast_to(
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None, None],
+        (n_tiles, 8, 128))
+
+    out_k = jax.ShapeDtypeStruct((Qp, NSg), jnp.float32)
+    spec_q = pl.BlockSpec((q_tile, 3), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_g = pl.BlockSpec((NR, NSg), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((q_tile, NSg), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+
+    r2 = None if radius is None else float(radius) ** 2
+    k1, k2 = pl.pallas_call(
+        functools.partial(_bknn_kernel, LW, NSg, q_tile, NR, r2),
+        grid=(n_tiles,),
+        in_specs=[spec_q,
+                  pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  spec_g, spec_g, spec_g, spec_g],
+        out_specs=(spec_o, spec_o),
+        out_shape=(out_k, out_k),
+    )(qpad, ratio, tids, gx, gy, gz, gv)
+
+    keys = jnp.concatenate([k1[:Q], k2[:Q]], axis=1)          # [Q, 2*NSg]
+    neg, _ = lax.approx_max_k(-keys, k, recall_target=0.99,
+                              aggregate_to_topk=True)
+    ki = jax.lax.bitcast_convert_type(-neg, jnp.int32)
+    idx = ki & 0x7FFF
+    d = jax.lax.bitcast_convert_type(ki & ~0x7FFF, jnp.float32)
+    valid = d < BIG / 2
+    return jnp.maximum(d, 0.0), jnp.minimum(idx, S - 1), valid

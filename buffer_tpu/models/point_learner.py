@@ -78,14 +78,31 @@ def gather_neighborhood(
     features and zero offsets (the reference replaces the shadow point by
     the query point before centering — same thing;
     models/point_learner.py:328-343)."""
-    # one packed gather for coordinates + features (TPU gathers cost per
-    # row, so two half-width gathers are twice the price of one)
-    packed = jnp.concatenate([s_pts, s_feat], axis=-1)   # [B,Ns,3+C*3]
-    g = _bgather(packed, idx)                            # [B,Nq,K,3+C*3]
+    # One packed gather for coordinates + features (TPU gathers cost per
+    # row, so two half-width gathers are twice the price of one).  Gather
+    # cost also scales with row LANES (each row reads tile-granular), so
+    # on TPU the features ride as bf16 pairs bit-packed into f32 lanes —
+    # ~45% less gather traffic.  Coordinates stay exact fp32 (the centered
+    # offsets are geometry); bf16 features are the same noise class as the
+    # bf16_3x matmuls that consume them.
+    C3 = s_feat.shape[-1]
+    pack_bf16 = jax.default_backend() == "tpu" and C3 % 2 == 0 and C3 >= 6
+    if pack_bf16:
+        fb = s_feat.astype(jnp.bfloat16)
+        fpk = jax.lax.bitcast_convert_type(
+            fb.reshape(*fb.shape[:-1], C3 // 2, 2), jnp.float32)
+        packed = jnp.concatenate([s_pts, fpk], axis=-1)  # [B,Ns,3+C*3/2]
+    else:
+        packed = jnp.concatenate([s_pts, s_feat], axis=-1)   # [B,Ns,3+C*3]
+    g = _bgather(packed, idx)                            # [B,Nq,K,...]
     nbr_xyz = g[..., :3]
     eqv = (nbr_xyz - q_pts[:, :, None, :]) / scale
     eqv = jnp.where(valid[..., None], eqv, 0.0)
-    nbr_f = jnp.where(valid[..., None], g[..., 3:], 0.0)
+    gf = g[..., 3:]
+    if pack_bf16:
+        gf = jax.lax.bitcast_convert_type(gf, jnp.bfloat16)
+        gf = gf.reshape(*gf.shape[:-2], C3).astype(s_feat.dtype)
+    nbr_f = jnp.where(valid[..., None], gf, 0.0)
     return nbr_f, eqv
 
 

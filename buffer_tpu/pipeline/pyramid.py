@@ -37,9 +37,12 @@ def build_pyramid_and_normals(cfg: Config, points: jnp.ndarray,
     r0 = cfg.data.voxel_size_0 * cfg.point.conv_radius
     k0 = max(st.normal_knn, st.neighbor_caps[0])
 
+    band = st.knn_band or None
+
     def per_cloud(pts0, m0):
         return radius_knn(pts0, pts0, m0, k=k0, radius=None,
-                          chunk=st.knn_chunk, query_chunk=st.knn_chunk)
+                          chunk=st.knn_chunk, query_chunk=st.knn_chunk,
+                          band=band, query_valid=m0)
 
     d2, idx, v = jax.vmap(per_cloud)(points, masks)
     # batched flat-gather normals (outside the vmap: the vmapped gather
@@ -72,6 +75,7 @@ def _build_pyramid(cfg: Config, points: jnp.ndarray, masks: jnp.ndarray,
     kn = st.neighbor_caps
     kp = st.pool_caps
     chunk = st.knn_chunk
+    band = st.knn_band or None
 
     def per_cloud(pts0, m0, l0_idx=None, l0_valid=None, lv=None):
         if lv is not None:
@@ -93,7 +97,8 @@ def _build_pyramid(cfg: Config, points: jnp.ndarray, masks: jnp.ndarray,
                 continue
             r = r0 * (2 ** lvl)
             _, idx, v = radius_knn(pts[lvl], pts[lvl], msk[lvl], k=kn[lvl],
-                                   radius=r, chunk=chunk, query_chunk=chunk)
+                                   radius=r, chunk=chunk, query_chunk=chunk,
+                                   band=band, query_valid=msk[lvl])
             # padded query rows must not contribute
             v = v & msk[lvl][:, None]
             neighbors.append(idx)
@@ -104,10 +109,12 @@ def _build_pyramid(cfg: Config, points: jnp.ndarray, masks: jnp.ndarray,
             r = r0 * (2 ** lvl)
             _, pidx, pv = radius_knn(pts[lvl + 1], pts[lvl], msk[lvl],
                                      k=kp[lvl], radius=r, chunk=chunk,
-                                     query_chunk=chunk)
+                                     query_chunk=chunk, band=band,
+                                     query_valid=msk[lvl + 1])
             pools.append(pidx)
             pool_valid.append(pv & msk[lvl + 1][:, None])
-            d2, uidx = nearest(pts[lvl], pts[lvl + 1], msk[lvl + 1], chunk=chunk)
+            d2, uidx = nearest(pts[lvl], pts[lvl + 1], msk[lvl + 1],
+                               chunk=chunk, band=band, query_valid=msk[lvl])
             uv = (d2 <= (2.0 * r) ** 2) & msk[lvl]
             ups.append(uidx)
             up_valid.append(uv)

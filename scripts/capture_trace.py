@@ -24,10 +24,16 @@ def main():
 
     @jax.jit
     def run(variables, inputs, key):
-        def body(c, k):
-            r = register_pair(model, variables, inputs, k)
+        def body(c, inp):
+            k, i = inp
+            eps = i.astype(jnp.float32) * 1e-12
+            jogged = inputs._replace(
+                raw=inputs.raw + eps, sds=inputs.sds + eps,
+                lvl1=inputs.lvl1 + eps, lvl2=inputs.lvl2 + eps)
+            r = register_pair(model, variables, jogged, k)
             return c, r.pose
-        _, poses = jax.lax.scan(body, 0, jax.random.split(key, 4))
+        _, poses = jax.lax.scan(
+            body, 0, (jax.random.split(key, 4), jnp.arange(4)))
         return poses
 
     key = jax.random.PRNGKey(0)

@@ -104,3 +104,33 @@ def test_spt_pooled_matches_numpy_emulation():
                 want = np.max(np.stack(feats), axis=0)
                 got = pooled[k, gi // ele_n, gi % ele_n, a]
                 np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_banded_knn_recall_on_sorted_cloud():
+    """Interleaved-segment banded kNN on a Morton-sorted cloud: candidate
+    sets must contain ~all true radius-kNN (the window covers the ball and
+    3+ per-segment collisions are rare)."""
+    from buffer_tpu.data.preprocess import morton_sort
+
+    rs = np.random.RandomState(4)
+    pts = morton_sort(rs.rand(4096, 3).astype(np.float32))
+    valid = np.ones(4096, bool)
+    k, r = 12, 0.06
+
+    d, i, v = gp.banded_knn_tpu.__wrapped__(
+        jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(valid),
+        jnp.asarray(valid), k, r, q_tile=8, win_rows=16, n_segs=128)
+    d, i, v = map(np.asarray, (d, i, v))
+
+    qs = rs.choice(4096, 64, replace=False)
+    rec = []
+    for q in qs:
+        d2 = ((pts[q] - pts) ** 2).sum(1)
+        true = set(np.argsort(d2)[:k]) & set(np.where(d2 <= r * r)[0])
+        got = set(i[q][v[q]])
+        if true:
+            rec.append(len(got & true) / len(true))
+        # returned slots must be in-radius and distance-sorted
+        assert (d[q][v[q]] <= r * r + 1e-6).all()
+        assert (np.diff(d[q][v[q]]) >= -1e-6).all()
+    assert np.mean(rec) > 0.97, np.mean(rec)
