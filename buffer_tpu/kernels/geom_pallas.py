@@ -232,8 +232,8 @@ def nearest_tpu(
 # ---------------------------------------------------------------------------
 
 
-def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, block_ref, Wx_ref, Wy_ref,
-                Wz_ref, b_ref, f0_ref, u_ref, anc_ref, out_ref):
+def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, block_ref, Rt_ref, Wx_ref,
+                Wy_ref, Wz_ref, b_ref, f0_ref, u_ref, anc_ref, out_ref):
     """Kt keypoints per grid step; stratified sampled-SPT semantics.
 
     For each cylindrical anchor, take the top-random-priority in-ball point
@@ -243,7 +243,15 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, block_ref, Wx_ref, Wy_ref,
     derotated point-MLP on just those samples, and max-pool; empty slots
     contribute f0 exactly like the reference's zero-filled slots.
 
-    block_ref [Kt, S, 3]   patch coords (natural layout)
+    block_ref [Kt, S, 3]   patch coords, UNROTATED (centered, /des_r)
+    Rt_ref    [Kt, 3, 3]   transposed per-patch alignment rotation: the
+                           reference rotates every patch point (delta @ R,
+                           patch_embedder.py:130-142) — a [K,S,3]@[K,3,3]
+                           batched matmul with 3-lane outputs that XLA runs
+                           at ~56 GB/s.  Rotating the 420 anchors and the
+                           3 weight rows per keypoint instead is free:
+                           d2(p@R, a) = d2(p, a@R^T) and W'(e) = sum_d
+                           R[e,d] W(d).
     Wx/Wy/Wz  [16, A]      folded MLP weight rows, azimuth-expanded per anchor
     b_ref     [16, 1]      folded bias
     f0_ref    [16, 1]      feature of a zero sample slot
@@ -252,18 +260,27 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, block_ref, Wx_ref, Wy_ref,
     out_ref   [Kt, 16, A]
     """
     LS = S // NSEG
-    ax = anc_ref[0:1, :]                            # [1, A]
-    ay = anc_ref[1:2, :]
-    az = anc_ref[2:3, :]
     u = u_ref[...]                                  # [S, 1]
     b = b_ref[...]                                  # [16, 1]
     f0 = f0_ref[...]                                # [16, 1]
-    Wx = Wx_ref[...]                                # [16, A]
-    Wy = Wy_ref[...]
-    Wz = Wz_ref[...]
+    Wx0 = Wx_ref[...]                               # [16, A]
+    Wy0 = Wy_ref[...]
+    Wz0 = Wz_ref[...]
+    anc = anc_ref[...]                              # [A, 3]
 
     for kt in range(Kt):
-        blk = block_ref[kt]                         # [S, 3]
+        blk = block_ref[kt]                         # [S, 3] unrotated
+        Rt = Rt_ref[kt]                             # [3, 3] = R^T
+        anc_r = jnp.dot(anc, Rt,
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)          # a @ R^T
+        # W'(e) = sum_d R[e,d] W(d);  R[e,d] = Rt[d,e]
+        Wx = Rt[0, 0] * Wx0 + Rt[1, 0] * Wy0 + Rt[2, 0] * Wz0
+        Wy = Rt[0, 1] * Wx0 + Rt[1, 1] * Wy0 + Rt[2, 1] * Wz0
+        Wz = Rt[0, 2] * Wx0 + Rt[1, 2] * Wy0 + Rt[2, 2] * Wz0
+        ax = anc_r[:, 0][None, :]                   # [1, A]
+        ay = anc_r[:, 1][None, :]
+        az = anc_r[:, 2][None, :]
         px = blk[:, 0:1]                            # [S, 1]
         py = blk[:, 1:2]
         pz = blk[:, 2:3]
@@ -301,9 +318,10 @@ def spt_pooled_tpu(
     b_eff: jnp.ndarray,          # [16]
     f0: jnp.ndarray,             # [16]
     u: jnp.ndarray,              # [S] shared uniforms
-    delta_x: jnp.ndarray,        # [K, S, 3]
+    delta_x: jnp.ndarray,        # [K, S, 3] UNROTATED patch coords
     rad_n: int, azi_n: int, ele_n: int,
     voxel_r: float, voxel_sample: int,
+    R: jnp.ndarray = None,       # [K, 3, 3] per-patch alignment (None = I)
 ) -> jnp.ndarray:
     """Fused sampled-SPT + point-MLP + sample-max descriptor front in one
     VMEM-resident kernel per keypoint block.  Per anchor, <= voxel_sample
@@ -336,8 +354,11 @@ def spt_pooled_tpu(
     Kt = 4
     Kp = _round_up(K, Kt)
     blocks = delta_x
+    Rt = (jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3))
+          if R is None else jnp.swapaxes(R, 1, 2))
     if Kp != K:
         blocks = jnp.pad(blocks, ((0, Kp - K), (0, 0), (0, 0)))
+        Rt = jnp.pad(Rt, ((0, Kp - K), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_spt_kernel, S, A, NSEG, NUSE, Kt,
@@ -346,19 +367,21 @@ def spt_pooled_tpu(
         in_specs=[
             pl.BlockSpec((Kt, S, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kt, 3, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((16, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((S, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Kt, 16, A), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Kp, 16, A), jnp.float32),
-    )(blocks, Wx, Wy, Wz, b_eff[:, None], f0[:, None], u[:, None],
-      anc_azi_major.T)
+    )(blocks, Rt, Wx, Wy, Wz, b_eff[:, None], f0[:, None], u[:, None],
+      anc_azi_major)
 
     # [K, 16, A(=AZ*G)] -> [K, G, AZ, 16] -> [K, rad, ele, azi, 16]
     pooled = out[:K].reshape(K, 16, AZ, G).transpose(0, 3, 2, 1)

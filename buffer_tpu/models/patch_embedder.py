@@ -70,9 +70,11 @@ def extract_patches(
 
 
 def axis_align(patches: jnp.ndarray, dataset: str,
-               z_axis: Optional[jnp.ndarray]):
+               z_axis: Optional[jnp.ndarray], rotate: bool = True):
     """(patch_embedder.py:123-149).  patches [K,S,3]; z_axis [K,3] or None.
-    Returns (delta_x [K,S,3], rand_axis [K,3], R [K,3,3])."""
+    Returns (delta_x [K,S,3], rand_axis [K,3], R [K,3,3]).  With
+    ``rotate=False`` the returned delta is UNROTATED (the caller folds R
+    into the fused SPT kernel instead)."""
     center = patches[:, -1, :]
     delta = patches - center[:, None, :]
     if dataset in ("3DMatch", "3DLoMatch"):
@@ -85,7 +87,8 @@ def axis_align(patches: jnp.ndarray, dataset: str,
         target = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], patches.dtype),
                                   z.shape)
         R = se3.rodrigues_a_to_b(z, target)                     # [K,3,3]
-        delta = delta @ R
+        if rotate:
+            delta = delta @ R
         rand_axis = jnp.cross(z, target)
         rand_axis = safe_normalize(rand_axis, axis=-1)
     else:  # KITTI / ETH: identity frame (patch_embedder.py:143-148)
@@ -196,6 +199,10 @@ def fused_point_features(
     rad_n: int, azi_n: int, ele_n: int,
     voxel_r: float, voxel_sample: int,
     kpt_chunk: int = 128,
+    R_align: Optional[jnp.ndarray] = None,   # [K,3,3]: delta_x is then
+                                             # UNROTATED; the rotation folds
+                                             # into the TPU kernel's
+                                             # anchors/weights
 ) -> jnp.ndarray:
     """Gather-free SPT + point-MLP + sample-max, for inference.
 
@@ -238,7 +245,9 @@ def fused_point_features(
         from buffer_tpu.kernels.geom_pallas import spt_pooled_tpu
         return spt_pooled_tpu(W_all, b_eff, f0, u, delta_x,
                               rad_n, azi_n, ele_n,
-                              float(voxel_r), int(voxel_sample))
+                              float(voxel_r), int(voxel_sample), R=R_align)
+    if R_align is not None:
+        delta_x = delta_x @ R_align
 
     anchors = jnp.asarray(
         gridmath.get_voxel_coordinate(1.0, rad_n, azi_n, ele_n)

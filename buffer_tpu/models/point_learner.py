@@ -94,15 +94,22 @@ def gather_neighborhood(
         packed = jnp.concatenate([s_pts, fpk], axis=-1)  # [B,Ns,3+C*3/2]
     else:
         packed = jnp.concatenate([s_pts, s_feat], axis=-1)   # [B,Ns,3+C*3]
+    # shadow-row gather (the reference's own trick, point_learner.py:328):
+    # invalid slots index a zero pad row, so the wide per-feature select
+    # disappears; only the 3-lane eqv needs explicit masking (a zero
+    # gathered row would otherwise yield -q/scale)
+    Ns = packed.shape[1]
+    packed = jnp.concatenate(
+        [packed, jnp.zeros_like(packed[:, :8])], axis=1)
+    idx = jnp.where(valid, idx, Ns)
     g = _bgather(packed, idx)                            # [B,Nq,K,...]
     nbr_xyz = g[..., :3]
     eqv = (nbr_xyz - q_pts[:, :, None, :]) / scale
     eqv = jnp.where(valid[..., None], eqv, 0.0)
-    gf = g[..., 3:]
+    nbr_f = g[..., 3:]
     if pack_bf16:
-        gf = jax.lax.bitcast_convert_type(gf, jnp.bfloat16)
-        gf = gf.reshape(*gf.shape[:-2], C3).astype(s_feat.dtype)
-    nbr_f = jnp.where(valid[..., None], gf, 0.0)
+        nbr_f = jax.lax.bitcast_convert_type(nbr_f, jnp.bfloat16)
+        nbr_f = nbr_f.reshape(*nbr_f.shape[:-2], C3).astype(s_feat.dtype)
     return nbr_f, eqv
 
 
@@ -111,13 +118,13 @@ def _vnn_input(neighb_x: jnp.ndarray, eqv: jnp.ndarray, mode: str) -> jnp.ndarra
     only live ones; models/point_learner.py:354-394).  Channel-major flat
     concat matches the torch ordering (feat..., xyz, cross, mean)."""
     if mode == "1":
-        return jnp.concatenate([neighb_x, eqv], axis=-1)
+        return (neighb_x, eqv)
     if mode == "6":
         # cross product of the (single-channel) feature with the offset
         cros = jnp.cross(neighb_x[..., :3], eqv)
         mean = jnp.mean(eqv, axis=2, keepdims=True)      # over K, shadows count
         mean = jnp.broadcast_to(mean, eqv.shape)
-        return jnp.concatenate([neighb_x, eqv, cros, mean], axis=-1)
+        return (neighb_x, eqv, cros, mean)
     raise ValueError(f"unsupported VNN mode {mode!r}")
 
 

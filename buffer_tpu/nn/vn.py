@@ -250,14 +250,15 @@ class VNBatchNormFlat(nn.Module):
         bn = MaskedBatchNorm(self.features, name="bn")
         if fold_eval:
             # touch the bn once so params exist in both paths
-            _ = bn(jnp.zeros((1, self.features), p.dtype), train=False)
+            _ = bn(jnp.zeros((1, self.features), jnp.float32), train=False)
             if self.features == 1:
-                return jnp.ones((1,), p.dtype), jnp.zeros((1,), p.dtype)
+                return (jnp.ones((1,), jnp.float32),
+                        jnp.zeros((1,), jnp.float32))
             stats = self.variables["batch_stats"]["bn"]
             params = self.variables["params"]["bn"]
             a = params["weight"] / jnp.sqrt(stats["var"] + 1e-5)
             b = params["bias"] - stats["mean"] * a
-            return a.astype(p.dtype), b.astype(p.dtype)
+            return a.astype(jnp.float32), b.astype(jnp.float32)
         pool = _pool3(self.features, p.dtype)
         norm_sq = jnp.matmul(p * p, pool, precision=PRECISION)  # [..., C]
         norm = jnp.sqrt(jnp.maximum(norm_sq, 1e-24)) + EPS
@@ -278,7 +279,8 @@ def _blockdiag(K: int, W: jnp.ndarray) -> jnp.ndarray:
 
 
 def vnn_block_planes(
-    x: jnp.ndarray,            # [M, K, Cin*3] gathered VN input (flat)
+    x,                         # [M, K, Cin*3] flat input, or a tuple of
+                               # such parts (channel-concatenated logically)
     Wf: jnp.ndarray,           # [Cin, Cout]
     Wd: jnp.ndarray,           # [Cin, Cout]
     bn_a: jnp.ndarray,         # [Cout] folded BN scale (ones if no BN)
@@ -298,17 +300,34 @@ def vnn_block_planes(
     * the mean over K = one tiny [K*Cout, Cout] averaging matmul.
 
     fp32 end-to-end (see PRECISION rationale at the top of this module).
-    """
-    M, K, Cin3 = x.shape
-    cin = Cin3 // 3
-    cout = Wf.shape[1]
-    # [M, K, Cin, 3] -> [3, M, K*Cin]: one physical transpose of the input
-    xp = jnp.moveaxis(x.reshape(M, K, cin, 3), -1, 0).reshape(3, M, K * cin)
 
-    WfB = _blockdiag(K, Wf)
-    WdB = _blockdiag(K, Wd)
-    p = jnp.matmul(xp, WfB, precision=PRECISION)       # [3, M, K*Cout]
-    d = jnp.matmul(xp, WdB, precision=PRECISION)
+    Tuple inputs avoid materializing the channel concatenation: each part
+    is transposed separately and contracted against its row slice of the
+    (block-diagonal) weights — the sum equals the concatenated matmul.
+    NOTE the block-diagonal weights are (K-1)/K zeros, but the dense
+    per-neighbor form [3*M*K, cin] @ [cin, cout] is SLOWER despite 34x
+    fewer FLOPs: its cout-wide (10-40 lane) intermediates pay ~8x tile
+    padding on every elementwise pass (measured 97 -> 113 ms/pair).
+    """
+    parts = x if isinstance(x, (tuple, list)) else (x,)
+    M, K, _ = parts[0].shape
+    cout = Wf.shape[1]
+
+    p = None
+    d = None
+    row = 0
+    for part in parts:
+        ci = part.shape[-1] // 3
+        # [M, K, ci, 3] -> [3, M, K*ci]: one physical transpose per part
+        xp = jnp.moveaxis(part.reshape(M, K, ci, 3), -1, 0).reshape(
+            3, M, K * ci)
+        WfB = _blockdiag(K, Wf[row:row + ci])
+        WdB = _blockdiag(K, Wd[row:row + ci])
+        pp = jnp.matmul(xp, WfB, precision=PRECISION)  # [3, M, K*Cout]
+        dd = jnp.matmul(xp, WdB, precision=PRECISION)
+        p = pp if p is None else p + pp
+        d = dd if d is None else d + dd
+        row += ci
 
     norm = jnp.sqrt(jnp.maximum(jnp.sum(p * p, axis=0), 1e-24)) + EPS
     at = jnp.tile(bn_a, K)
@@ -324,7 +343,7 @@ def vnn_block_planes(
     out = s * p + (1.0 - s) * (pos[None] * p + (1.0 - pos)[None] * reflected)
 
     # mean over K and reinterleave: [3, M, K*Cout] -> [M, Cout*3]
-    avg = jnp.tile(jnp.eye(cout, dtype=x.dtype), (K, 1)) / K   # [K*Cout, Cout]
+    avg = jnp.tile(jnp.eye(cout, dtype=p.dtype), (K, 1)) / K   # [K*Cout, Cout]
     pooled = jnp.matmul(out, avg, precision=PRECISION)         # [3, M, Cout]
     return jnp.moveaxis(pooled, 0, -1).reshape(M, cout * 3)
 
@@ -350,9 +369,12 @@ class VNLinearLeakyReLUFlat(nn.Module):
     impl: str = "auto"   # 'auto' | 'planes' | 'xla'
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
-        cin = x.shape[-1] // 3
+        if isinstance(x, (tuple, list)):
+            cin = sum(p.shape[-1] for p in x) // 3
+        else:
+            cin = x.shape[-1] // 3
         cout = self.features
         Wf = _Kernel((cin, cout), name="map_to_feat")()
         Wd = _Kernel((cin, cout), name="map_to_dir")()
@@ -361,11 +383,14 @@ class VNLinearLeakyReLUFlat(nn.Module):
         use_planes = ((not train) and not self.is_initializing()
                       and self.impl != "xla" and self.reduce_k)
         if use_planes:
-            a, b = bn(x, fold_eval=True)
-            B, N, K, C3 = x.shape
-            out = vnn_block_planes(x.reshape(B * N, K, C3), Wf, Wd, a, b,
-                                   self.negative_slope)
+            a, b = bn(None, fold_eval=True)
+            parts = x if isinstance(x, (tuple, list)) else (x,)
+            B, N, K = parts[0].shape[:3]
+            flat = tuple(p.reshape(B * N, K, p.shape[-1]) for p in parts)
+            out = vnn_block_planes(flat, Wf, Wd, a, b, self.negative_slope)
             return out.reshape(B, N, cout * 3)
+        if isinstance(x, (tuple, list)):
+            x = jnp.concatenate(x, axis=-1)
 
         pool = _pool3(cout, x.dtype)
         p = x @ _kron3(Wf)                                     # [..., Cout*3]

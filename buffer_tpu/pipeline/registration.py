@@ -82,14 +82,19 @@ def describe_cloud(model: BufferModel, variables, cfg: Config, key,
     return desc, equi, R
 
 
-def _describe_delta(model: BufferModel, variables, cfg: Config, key, delta):
+def _describe_delta(model: BufferModel, variables, cfg: Config, key, delta,
+                    R=None):
+    """``delta`` is unrotated when ``R`` is given (the rotation folds into
+    the fused SPT kernel's anchors/weights on TPU)."""
     p = cfg.patch
     if cfg.static.fused_desc:
         pooled = pe.fused_point_features(
             variables["Desc"]["params"], variables["Desc"]["batch_stats"],
             key, delta, p.rad_n, p.azi_n, p.ele_n,
-            p.delta / p.rad_n, p.voxel_sample)
+            p.delta / p.rad_n, p.voxel_sample, R_align=R)
         return model.Desc.apply(variables["Desc"], pooled=pooled)
+    if R is not None:
+        delta = delta @ R
     inv = pe.spt(key, delta, p.rad_n, p.azi_n, p.ele_n,
                  p.delta / p.rad_n, p.voxel_sample)
     return model.Desc.apply(variables["Desc"], inv)
@@ -108,12 +113,17 @@ def describe_both(model: BufferModel, variables, cfg: Config, keys,
         k1, _ = jax.random.split(keys[b])
         patches = pe.extract_patches(k1, raw[b], raw_mask[b], kpts[b],
                                      p.des_r, p.num_points_per_patch)
-        delta, _, R = pe.axis_align(patches, cfg.data.dataset, axes[b])
+        # rotation deferred: axis_align(rotate=False) returns R only; the
+        # fused SPT kernel rotates anchors/weights instead of the [K,S,3]
+        # points (a ~3.4 ms batched matmul with 3-lane outputs)
+        delta, _, R = pe.axis_align(patches, cfg.data.dataset, axes[b],
+                                    rotate=False)
         deltas.append(delta / p.des_r)
         Rs.append(R)
     delta = jnp.concatenate(deltas, axis=0)                  # [2K, S, 3]
+    R_all = jnp.concatenate(Rs, axis=0)
     _, k2 = jax.random.split(keys[0])
-    desc, equi = _describe_delta(model, variables, cfg, k2, delta)
+    desc, equi = _describe_delta(model, variables, cfg, k2, delta, R=R_all)
     return ((desc[:K], equi[:K], Rs[0]), (desc[K:], equi[K:], Rs[1]))
 
 
@@ -165,10 +175,20 @@ def _register_pair(model: BufferModel, variables: Dict[str, dict],
     tt_R = t_R[m.tgt_idx]
 
     # 6. SO(2) azimuth via the cost volume on the reduced elevation band
-    #    (models/BUFFER.py:291-292)
+    #    (models/BUFFER.py:291-292).  The tgt-equi row permutation rides
+    #    the MXU as an exact one-hot matmul (1.0 x bf16 products and
+    #    single-nonzero sums are exact): a row GATHER of the [K, 4480]
+    #    maps runs at ~22 GB/s and costs ~4.5 ms/pair.
     band = slice(1, cfg.patch.ele_n - 1)
-    ind = model.Inlier.apply(variables["Inlier"],
-                             s_equi[:, band], t_equi[m.tgt_idx][:, band])
+    t_eb = t_equi[:, band]
+    K_t = t_eb.shape[0]
+    onehot = (m.tgt_idx[:, None]
+              == jnp.arange(K_t, dtype=m.tgt_idx.dtype)[None, :])
+    t_eb_sel = jnp.matmul(
+        onehot.astype(jnp.bfloat16),
+        t_eb.reshape(K_t, -1).astype(jnp.bfloat16)).astype(t_eb.dtype)
+    ind = model.Inlier.apply(variables["Inlier"], s_equi[:, band],
+                             t_eb_sel.reshape(K, *t_eb.shape[1:]))
 
     # 7. per-match hypotheses + voting (models/BUFFER.py:294-311)
     R_h, t_h = matching.pose_hypotheses(ss_kpts, tt_kpts, ss_R, tt_R, ind,
