@@ -121,3 +121,29 @@ def registration_recall(cfg: Config, log_dir: str) -> Optional[float]:
             gt_pairs.astype(float).astype(int), gt_traj, cov)
         recalls.append(rec)
     return float(np.mean(recalls)) if recalls else None
+
+
+def make_dp_register(model: BufferModel, mesh):
+    """Data-parallel registration: a batch of D independent fragment pairs,
+    one per device on the mesh's 'dp' axis (SURVEY.md §2.3 — eval pairs are
+    independent, batch_size=1 in the reference; sharding them over chips is
+    the TPU-native eval-throughput axis the single-GPU reference lacks).
+
+    Returns a jitted fn (variables, batched PairInputs, keys[D]) ->
+    RegistrationResult with a leading D axis.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from buffer_tpu.pipeline.registration import PairInputs
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("dp"))
+
+    def fn(variables, binputs, keys):
+        return jax.vmap(
+            lambda inp, k: register_pair(model, variables, inp, k),
+            in_axes=(0, 0))(binputs, keys)
+
+    in_shardings = (repl,
+                    PairInputs(*([shard] * len(PairInputs._fields))),
+                    shard)
+    return jax.jit(fn, in_shardings=in_shardings, out_shardings=shard)

@@ -189,8 +189,21 @@ class VNBlock(nn.Module):
 
 def nearest_upsample(x: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """closest_pool: copy the nearest coarse feature (flat rows);
-    shadow -> zeros (models/point_learner.py:635-647)."""
-    up = _bgather(x, idx)
+    shadow -> zeros (models/point_learner.py:635-647).
+
+    On TPU the copied rows ride as bf16 pairs bit-packed into f32 lanes
+    (row gathers pay per-lane tile granularity; same noise class as the
+    bf16-packed conv gathers)."""
+    C3 = x.shape[-1]
+    if jax.default_backend() == "tpu" and C3 % 2 == 0 and C3 >= 6:
+        xb = x.astype(jnp.bfloat16)
+        xpk = jax.lax.bitcast_convert_type(
+            xb.reshape(*xb.shape[:-1], C3 // 2, 2), jnp.float32)
+        up = _bgather(xpk, idx)
+        up = jax.lax.bitcast_convert_type(up, jnp.bfloat16)
+        up = up.reshape(*up.shape[:-2], C3).astype(x.dtype)
+    else:
+        up = _bgather(x, idx)
     return jnp.where(valid[..., None], up, 0.0)
 
 

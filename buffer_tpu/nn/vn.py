@@ -323,8 +323,22 @@ def vnn_block_planes(
             3, M, K * ci)
         WfB = _blockdiag(K, Wf[row:row + ci])
         WdB = _blockdiag(K, Wd[row:row + ci])
-        pp = jnp.matmul(xp, WfB, precision=PRECISION)  # [3, M, K*Cout]
-        dd = jnp.matmul(xp, WdB, precision=PRECISION)
+        # single-channel parts (ci=1 — all four of the mode-'6' inputs and
+        # every eqv stream) contract exactly ONE nonzero product per output
+        # element: there is no accumulation for multi-pass fp32 to protect,
+        # so the 3x cheaper single-pass bf16 product (~0.4% value noise,
+        # the same class as the bf16-packed gathered features) is safe.
+        # Inputs are cast explicitly: precision=DEFAULT would defer to the
+        # pipeline's default_matmul_precision("highest") context.
+        # Multi-channel parts keep HIGH (see PRECISION note above).
+        if ci == 1:
+            pp = jnp.matmul(xp.astype(jnp.bfloat16), WfB.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            dd = jnp.matmul(xp.astype(jnp.bfloat16), WdB.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        else:
+            pp = jnp.matmul(xp, WfB, precision=PRECISION)   # [3, M, K*Cout]
+            dd = jnp.matmul(xp, WdB, precision=PRECISION)
         p = pp if p is None else p + pp
         d = dd if d is None else d + dd
         row += ci

@@ -135,3 +135,48 @@ def test_dp_train_step_8_devices(setup):
     assert np.isfinite(float(loss))
     leaves = jax.tree_util.tree_leaves(new_vars[stage]["params"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_dp_register_8_devices():
+    """Data-parallel EVAL: 8 independent pairs, one per device (eval
+    throughput axis, SURVEY.md §2.3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from buffer_tpu.config import tiny_cfg
+    from buffer_tpu.models.composite import BufferModel
+    from buffer_tpu.eval.harness import make_dp_register
+
+    cfg = tiny_cfg()
+    model = BufferModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+
+    rs = np.random.RandomState(0)
+    raw = rs.uniform(-0.6, 0.6, (600, 3)).astype(np.float32)
+    raw[:, 2] = 0.2 * np.sin(4 * raw[:, 0]) + 1.4
+
+    from buffer_tpu.pipeline.registration import PairInputs
+
+    def pad(x, n):
+        o = np.zeros((n, 3), np.float32)
+        o[: min(len(x), n)] = x[:n]
+        m = np.zeros(n, bool)
+        m[: min(len(x), n)] = True
+        return o, m
+
+    r, mr = pad(raw, cfg.static.raw_points)
+    s, ms = pad(raw[::2], cfg.static.points_l0)
+    one = PairInputs(jnp.asarray(np.stack([r, r])),
+                     jnp.asarray(np.stack([mr, mr])),
+                     jnp.asarray(np.stack([s, s])),
+                     jnp.asarray(np.stack([ms, ms])))
+    D = 8
+    binputs = jax.tree_util.tree_map(lambda x: jnp.stack([x] * D), one)
+
+    mesh = Mesh(np.array(jax.devices()[:D]), ("dp",))
+    fn = make_dp_register(model, mesh)
+    res = fn(variables, binputs, jax.random.split(jax.random.PRNGKey(1), D))
+    poses = np.asarray(res.pose)
+    assert poses.shape == (D, 4, 4)
+    assert np.isfinite(poses).all()
