@@ -66,6 +66,9 @@ def main():
     from buffer_tpu.config import make_cfg, tiny_cfg
     from buffer_tpu.models.composite import BufferModel
     from buffer_tpu.pipeline.registration import register_pair
+    from buffer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = make_cfg("3DMatch") if args.size == "full" else tiny_cfg()
     model = BufferModel(cfg)

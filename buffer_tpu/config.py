@@ -292,6 +292,20 @@ def make_cfg(name: str = "3DMatch") -> Config:
     return PRESETS[name]()
 
 
+def shrink_static(cfg: Config) -> Config:
+    """Swap any preset's static plan for the miniature test plan while
+    preserving every data/semantic field (voxel sizes, thresholds, dataset
+    layout).  Used by the entry points' ``--tiny`` flag so CI can drive the
+    REAL dataset loaders and eval/train plumbing on fixture-sized data."""
+    t = tiny_cfg()
+    return cfg.replace(
+        static=t.static,
+        point=replace(cfg.point, num_keypts=t.point.num_keypts),
+        match=replace(cfg.match, hypotheses=t.match.hypotheses),
+        train=replace(cfg.train, pos_num=t.train.pos_num),
+    )
+
+
 def tiny_cfg() -> Config:
     """A miniature static plan for tests and compile checks."""
     c = threedmatch_cfg()

@@ -11,6 +11,7 @@ is built (buffer_tpu/kernels); numpy otherwise.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Tuple
 
 import numpy as np
@@ -41,10 +42,16 @@ def morton_sort(pts: np.ndarray, bits: int = 10) -> np.ndarray:
 def pad_cloud(pts: np.ndarray, n: int, rs: Optional[np.random.RandomState] = None
               ) -> Tuple[np.ndarray, np.ndarray]:
     """Cap (random subset, like max_numPts handling in
-    ThreeDMatch/dataset.py:134-140) and zero-pad to n with a mask."""
+    ThreeDMatch/dataset.py:134-140) and zero-pad to n with a mask.
+
+    The subset indices are SORTED so capping preserves the input order —
+    the pyramid levels arrive Morton-sorted and the banded kNN scans rank
+    windows of that order (a shuffled subset would silently break its
+    recall).  Raw clouds stay effectively shuffled: their input order is
+    already random."""
     if len(pts) > n:
         rs = rs or np.random
-        idx = rs.choice(len(pts), n, replace=False)
+        idx = np.sort(rs.choice(len(pts), n, replace=False))
         pts = pts[idx]
     out = np.zeros((n, 3), np.float32)
     out[: len(pts)] = pts
@@ -85,6 +92,19 @@ def prepare_pair(
 
     s_fds, s_sds = stage(src_raw)
     t_fds, t_sds = stage(tgt_raw)
+    # loud (once per size class) instead of silent when a real cloud
+    # overflows the static plan — pad_cloud random-subsamples the excess,
+    # which is a quality cliff the operator should know about (e.g. KITTI
+    # scans at downsample=0.05 can exceed raw_points)
+    for name, arr, cap in (("raw_points", s_fds, st.raw_points),
+                           ("raw_points", t_fds, st.raw_points),
+                           ("points_l0", s_sds, st.points_l0),
+                           ("points_l0", t_sds, st.points_l0)):
+        if len(arr) > cap:
+            warnings.warn(
+                f"cloud with {len(arr)} points exceeds static plan "
+                f"{name}={cap}; randomly subsampling (consider a larger "
+                "static bucket)", RuntimeWarning)
     # Morton-order the point-learner clouds so the on-device neighbor
     # search can run rank-banded (raw clouds stay shuffled: the ball
     # sampler's segment statistics rely on random order)

@@ -72,11 +72,20 @@ class ThreeDMatchDataset:
                     self.files.append([src_id, tgt_id])
         else:
             self.root = join(root, "test")
-            for scene in TEST_SCENES:
-                if config.data.dataset == "3DMatch":
-                    gtpath = join(self.root, "3DMatch", "gt_result", scene)
-                else:  # 3DLoMatch
-                    gtpath = join(self.root, "3DLoMatch", scene)
+            if config.data.dataset == "3DMatch":
+                gtbase = join(self.root, "3DMatch", "gt_result")
+            else:  # 3DLoMatch
+                gtbase = join(self.root, "3DLoMatch")
+            # canonical benchmark scenes when present; otherwise discover
+            # from disk (lets CI fixture trees drive the identical path)
+            scenes = [s for s in TEST_SCENES
+                      if os.path.isdir(join(gtbase, s))]
+            if not scenes and os.path.isdir(gtbase):
+                scenes = sorted(
+                    s for s in os.listdir(gtbase)
+                    if os.path.isdir(join(gtbase, s)))
+            for scene in scenes:
+                gtpath = join(gtbase, scene)
                 gt = load_log(join(gtpath, "gt.log"))
                 pcdpath = f"3DMatch/fragments/{scene}"
                 for key, pose in gt.items():

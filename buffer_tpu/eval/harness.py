@@ -31,6 +31,43 @@ THRESHOLDS = {
 }
 
 
+def _prefetch(cfg: Config, dataset, n: int, rs, data_timer: Timer,
+              depth: int = 2):
+    """Producer thread running the host prep (dataset IO + prepare_pair)
+    ahead of device compute — the TPU-native analog of the reference's 16
+    DataLoader workers (ThreeDMatch/dataloader.py:257-264).  numpy releases
+    the GIL, so prep overlaps the device dispatch even on one core."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def producer():
+        try:
+            for i in range(n):
+                data_timer.tic()
+                item = dataset[i]
+                inputs = prepare_pair(
+                    cfg, item["src_fds_pts"], item["tgt_fds_pts"],
+                    rs=rs, already_downsampled=True)
+                data_timer.toc()
+                q.put((i, item, inputs))
+        except BaseException as e:   # surface loader errors to the consumer
+            q.put(e)
+            return
+        q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    while True:
+        got = q.get()
+        if got is None:
+            return
+        if isinstance(got, BaseException):
+            raise got
+        yield got
+
+
 def run_eval(
     cfg: Config,
     variables,
@@ -39,11 +76,28 @@ def run_eval(
     max_pairs: Optional[int] = None,
     seed: int = 0,
     logger: Optional[MetricLogger] = None,
+    use_dp: Optional[bool] = None,
 ) -> Dict[str, float]:
+    """Evaluate all pairs.  Host prep runs on a prefetch thread; when more
+    than one device is visible (``use_dp`` unset => auto) pairs are batched
+    through :func:`make_dp_register`, one pair per device."""
+    from buffer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     model = BufferModel(cfg)
-    fn = jax.jit(lambda v, i, k: register_pair(model, v, i, k))
     logger = logger or MetricLogger(echo=True)
     rte_th, rre_th = THRESHOLDS[cfg.data.dataset]
+
+    n = len(dataset) if max_pairs is None else min(len(dataset), max_pairs)
+    D = len(jax.devices())
+    if use_dp is None:
+        use_dp = D > 1 and n >= D
+    if use_dp:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        dp_fn = make_dp_register(model, mesh)
+    else:
+        fn = jax.jit(lambda v, i, k: register_pair(model, v, i, k))
 
     data_timer, model_timer = Timer(), Timer()
     states = []
@@ -51,34 +105,61 @@ def run_eval(
     key = jax.random.PRNGKey(seed)
     rs = np.random.RandomState(cfg.data.manual_seed)
 
-    n = len(dataset) if max_pairs is None else min(len(dataset), max_pairs)
-    for i in range(n):
-        data_timer.tic()
-        item = dataset[i]
-        inputs = prepare_pair(cfg, item["src_fds_pts"], item["tgt_fds_pts"],
-                              rs=rs, already_downsampled=True)
-        data_timer.toc()
-
-        model_timer.tic()
-        key, sub = jax.random.split(key)
-        res = jax.block_until_ready(fn(variables, inputs, sub))
-        model_timer.toc()
-
-        pose = np.asarray(res.pose, np.float64)
+    def record(i, item, pose, num_mutual):
+        pose = np.asarray(pose, np.float64)
         gt = np.asarray(item["relt_pose"], np.float64)
         rte, rre = metrics.rte_rre(pose, gt)
         ok = rte < rte_th and rre < rre_th
         states.append([float(ok), rte, rre])
         if not ok:
             logger.log(event="fail", pair=i, rte=rte, rre=rre,
-                       mutual=int(res.num_mutual))
-
+                       mutual=int(num_mutual))
         if log_dir is not None and "/" in item["src_id"]:
             scene = item["src_id"].split("/")[-2]
             sid = item["src_id"].split("/")[-1].split("_")[-1]
             tid = item["tgt_id"].split("/")[-1].split("_")[-1]
             entries_by_scene.setdefault(scene, []).append(
                 (sid, tid, np.linalg.inv(pose)))
+
+    pending = []   # [(i, item, inputs)] batch accumulator for the dp path
+
+    def flush_dp():
+        nonlocal key
+        if not pending:
+            return
+        batch = pending[:]
+        while len(batch) < D:       # pad the tail batch: results discarded
+            batch.append(batch[-1])
+        binputs = jax.tree_util.tree_map(
+            lambda *xs: jnp_stack(xs), *[b[2] for b in batch])
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, D)
+        model_timer.tic()
+        res = jax.block_until_ready(dp_fn(variables, binputs, keys))
+        model_timer.toc()
+        poses = np.asarray(res.pose)
+        nmut = np.asarray(res.num_mutual)
+        for j, (i, item, _) in enumerate(pending):
+            record(i, item, poses[j], nmut[j])
+        pending.clear()
+
+    def jnp_stack(xs):
+        import jax.numpy as jnp
+        return jnp.stack(xs)
+
+    for i, item, inputs in _prefetch(cfg, dataset, n, rs, data_timer):
+        if use_dp:
+            pending.append((i, item, inputs))
+            if len(pending) == D:
+                flush_dp()
+        else:
+            model_timer.tic()
+            key, sub = jax.random.split(key)
+            res = jax.block_until_ready(fn(variables, inputs, sub))
+            model_timer.toc()
+            record(i, item, res.pose, res.num_mutual)
+    if use_dp:
+        flush_dp()
 
     states = np.array(states)
     out = metrics.dgr_recall(states)

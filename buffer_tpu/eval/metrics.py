@@ -138,10 +138,15 @@ def read_trajectory_info(path: str, dim: int = 6):
 
 
 def write_trajectory(path: str, entries: Sequence[Tuple[str, str, np.ndarray]]):
-    """Append Redwood-format entries (src_id, tgt_id, 4x4 INVERSE pose —
-    the reference writes inv(est), ThreeDMatch/test.py:254-261)."""
+    """Write Redwood-format entries (src_id, tgt_id, 4x4 INVERSE pose —
+    the reference writes inv(est), ThreeDMatch/test.py:254-261).
+
+    TRUNCATES: the harness rewrites each scene's trajectory once per run
+    (the reference appends per-pair within a single pass); appending here
+    would duplicate entries across reruns into the same log_dir and
+    silently corrupt Registration Recall."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "a+") as f:
+    with open(path, "w") as f:
         for src_id, tgt_id, trans in entries:
             f.write(f"{src_id}\t {tgt_id}\t  1\n")
             for r in range(4):

@@ -414,8 +414,11 @@ def _bknn_kernel(LW, NSg, Qt, NR, r2, q_ref, ratio_ref, tid_ref, gx_ref,
     i = tid_ref[0, 0, 0].astype(jnp.float32)
     center = (i * Qt + Qt / 2) * ratio              # support rank
     row = center / NSg
+    # LW is a multiple of 16 (banded_knn_tpu derives it), so LW//2 and the
+    # floor-to-8 upper clamp both preserve the 8-alignment promise for any
+    # NR >= LW — not just level sizes that happen to be multiples of 2048.
     r0 = jnp.clip(((row / 8.0 + 0.5).astype(jnp.int32)) * 8 - LW // 2,
-                  0, max(NR - LW, 0))
+                  0, max(((NR - LW) // 8) * 8, 0))
     r0 = pl.multiple_of(r0, 8)
 
     qt = q_ref[...]                                  # [Qt, 3]
@@ -451,18 +454,20 @@ def _bknn_kernel(LW, NSg, Qt, NR, r2, q_ref, ratio_ref, tid_ref, gx_ref,
     i1 = base + r1.astype(jnp.int32) * NSg
     i2 = base + r2_.astype(jnp.int32) * NSg
 
-    # Pack the support index into the low 15 mantissa bits of the fp32
+    # Pack the support index into the low 16 mantissa bits of the fp32
     # squared distance: the int32 view of a non-negative float is order-
     # preserving, so one approx_max_k over the packed keys OUTSIDE the
     # kernel selects the k nearest AND carries their indices — no top_k
     # sort, no take_along_axis row gather (those cost ~80 ms/pair).
-    # Distances lose 15 mantissa bits (~0.02% relative): threshold-only
+    # 16 bits covers padded support ranks up to 65535 (KITTI points_l0 =
+    # 40960 needs > 15 bits; banded_knn_tpu asserts Sp <= 1<<16).
+    # Distances lose 16 mantissa bits (<0.8% relative): threshold-only
     # consumers.
     def pack(m, idx):
         if r2 is not None:
             m = jnp.where(m <= r2, m, BIG)
         mi = pltpu.bitcast(m, jnp.int32)
-        return pltpu.bitcast((mi & ~0x7FFF) | idx, jnp.float32)
+        return pltpu.bitcast((mi & ~0xFFFF) | idx, jnp.float32)
 
     k1_ref[...] = pack(m1, i1)
     k2_ref[...] = pack(m2, i2)
@@ -495,10 +500,21 @@ def banded_knn_tpu(
     """
     Q = query.shape[0]
     S = support.shape[0]
-    LW = win_rows
     NSg = n_segs
     NR = -(-S // NSg)
     Sp = NR * NSg
+    # The packed keys carry support ranks in 16 mantissa bits, and the
+    # kernel's window slice needs NR >= LW with 16-aligned LW (r0
+    # alignment).  Callers should gate on banded_tpu_supported().
+    if Sp > (1 << 16):
+        raise ValueError(
+            f"banded_knn_tpu: padded support {Sp} exceeds the 16-bit index "
+            "capacity; use the unbanded path")
+    LW = min(win_rows, (NR // 16) * 16)
+    if LW < 16:
+        raise ValueError(
+            f"banded_knn_tpu: support rows NR={NR} too small for a banded "
+            "window; use the unbanded path")
     sup = jnp.pad(support, ((0, Sp - S), (0, 0)))
     sv = jnp.pad(support_valid.astype(jnp.float32), (0, Sp - S))
     # row-major [NR, NSg] grids: grid[r, s] = rank r*NSg + s
@@ -546,7 +562,14 @@ def banded_knn_tpu(
     neg, _ = lax.approx_max_k(-keys, k, recall_target=0.99,
                               aggregate_to_topk=True)
     ki = jax.lax.bitcast_convert_type(-neg, jnp.int32)
-    idx = ki & 0x7FFF
-    d = jax.lax.bitcast_convert_type(ki & ~0x7FFF, jnp.float32)
+    idx = ki & 0xFFFF
+    d = jax.lax.bitcast_convert_type(ki & ~0xFFFF, jnp.float32)
     valid = d < BIG / 2
     return jnp.maximum(d, 0.0), jnp.minimum(idx, S - 1), valid
+
+
+def banded_tpu_supported(S: int, win_rows: int = 32, n_segs: int = 256) -> bool:
+    """True when :func:`banded_knn_tpu` can handle a support of S rows:
+    padded rank fits the 16-bit packed index and the window fits the grid."""
+    NR = -(-S // n_segs)
+    return NR * n_segs <= (1 << 16) and (NR // 16) * 16 >= 16

@@ -69,6 +69,7 @@ def _bgather(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def gather_neighborhood(
     s_pts: jnp.ndarray, s_feat: jnp.ndarray, q_pts: jnp.ndarray,
     idx: jnp.ndarray, valid: jnp.ndarray, scale: float,
+    pack: Optional[bool] = None,
 ):
     """Gather neighbor features and scale-normalized centered offsets.
 
@@ -82,34 +83,32 @@ def gather_neighborhood(
     # row, so two half-width gathers are twice the price of one).  Gather
     # cost also scales with row LANES (each row reads tile-granular), so
     # on TPU the features ride as bf16 pairs bit-packed into f32 lanes —
-    # ~45% less gather traffic.  Coordinates stay exact fp32 (the centered
+    # ~45% less gather traffic — via gather_coord_feat_bf16, whose
+    # custom_vjp keeps gradients exact (a raw bitcast composite would
+    # silently zero them).  Coordinates stay exact fp32 (the centered
     # offsets are geometry); bf16 features are the same noise class as the
     # bf16_3x matmuls that consume them.
+    from buffer_tpu.ops.neighbors import gather_coord_feat_bf16
     C3 = s_feat.shape[-1]
-    pack_bf16 = jax.default_backend() == "tpu" and C3 % 2 == 0 and C3 >= 6
-    if pack_bf16:
-        fb = s_feat.astype(jnp.bfloat16)
-        fpk = jax.lax.bitcast_convert_type(
-            fb.reshape(*fb.shape[:-1], C3 // 2, 2), jnp.float32)
-        packed = jnp.concatenate([s_pts, fpk], axis=-1)  # [B,Ns,3+C*3/2]
-    else:
-        packed = jnp.concatenate([s_pts, s_feat], axis=-1)   # [B,Ns,3+C*3]
+    if pack is None:
+        pack = jax.default_backend() == "tpu"
+    pack = pack and C3 % 2 == 0 and C3 >= 6
     # shadow-row gather (the reference's own trick, point_learner.py:328):
     # invalid slots index a zero pad row, so the wide per-feature select
     # disappears; only the 3-lane eqv needs explicit masking (a zero
     # gathered row would otherwise yield -q/scale)
-    Ns = packed.shape[1]
-    packed = jnp.concatenate(
-        [packed, jnp.zeros_like(packed[:, :8])], axis=1)
+    Ns = s_pts.shape[1]
     idx = jnp.where(valid, idx, Ns)
-    g = _bgather(packed, idx)                            # [B,Nq,K,...]
-    nbr_xyz = g[..., :3]
+    if pack:
+        nbr_xyz, nbr_f = gather_coord_feat_bf16(s_pts, s_feat, idx)
+    else:
+        packed = jnp.concatenate([s_pts, s_feat], axis=-1)   # [B,Ns,3+C*3]
+        packed = jnp.concatenate(
+            [packed, jnp.zeros_like(packed[:, :8])], axis=1)
+        g = _bgather(packed, idx)                            # [B,Nq,K,...]
+        nbr_xyz, nbr_f = g[..., :3], g[..., 3:]
     eqv = (nbr_xyz - q_pts[:, :, None, :]) / scale
     eqv = jnp.where(valid[..., None], eqv, 0.0)
-    nbr_f = g[..., 3:]
-    if pack_bf16:
-        nbr_f = jax.lax.bitcast_convert_type(nbr_f, jnp.bfloat16)
-        nbr_f = nbr_f.reshape(*nbr_f.shape[:-2], C3).astype(s_feat.dtype)
     return nbr_f, eqv
 
 
@@ -187,21 +186,21 @@ class VNBlock(nn.Module):
         return VNLinearLeakyReLUFlat(self.out_dim, name="mlp")(x, mask=mask, train=train)
 
 
-def nearest_upsample(x: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+def nearest_upsample(x: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray,
+                     pack: Optional[bool] = None) -> jnp.ndarray:
     """closest_pool: copy the nearest coarse feature (flat rows);
     shadow -> zeros (models/point_learner.py:635-647).
 
     On TPU the copied rows ride as bf16 pairs bit-packed into f32 lanes
     (row gathers pay per-lane tile granularity; same noise class as the
-    bf16-packed conv gathers)."""
+    bf16-packed conv gathers) — via gather_rows_bf16, whose custom_vjp
+    keeps gradients exact."""
+    from buffer_tpu.ops.neighbors import gather_rows_bf16
     C3 = x.shape[-1]
-    if jax.default_backend() == "tpu" and C3 % 2 == 0 and C3 >= 6:
-        xb = x.astype(jnp.bfloat16)
-        xpk = jax.lax.bitcast_convert_type(
-            xb.reshape(*xb.shape[:-1], C3 // 2, 2), jnp.float32)
-        up = _bgather(xpk, idx)
-        up = jax.lax.bitcast_convert_type(up, jnp.bfloat16)
-        up = up.reshape(*up.shape[:-2], C3).astype(x.dtype)
+    if pack is None:
+        pack = jax.default_backend() == "tpu"
+    if pack and C3 % 2 == 0 and C3 >= 6:
+        up = gather_rows_bf16(x, idx)
     else:
         up = _bgather(x, idx)
     return jnp.where(valid[..., None], up, 0.0)

@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 BIG = 1e9
@@ -220,9 +221,11 @@ def radius_knn_banded(
     0.95-recall approx_max_k that consumes the scores, at ~5x less HBM
     traffic than the full [Q, S] field."""
     if jax.default_backend() == "tpu" and query_valid is not None:
-        from buffer_tpu.kernels.geom_pallas import banded_knn_tpu
-        return banded_knn_tpu(query, support, support_valid, query_valid,
-                              k, radius, band=band)
+        from buffer_tpu.kernels.geom_pallas import (
+            banded_knn_tpu, banded_tpu_supported)
+        if banded_tpu_supported(support.shape[0]):
+            return banded_knn_tpu(query, support, support_valid, query_valid,
+                                  k, radius, band=band)
     Q = query.shape[0]
     S = support.shape[0]
     win = 2 * band
@@ -464,3 +467,110 @@ def gather_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         (B,) + (1,) * (idx.ndim - 1))
     out = jnp.take(flat, (idx + off).reshape(-1), axis=0)
     return out.reshape(*idx.shape, arr.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# bf16 bit-packed row gathers (TPU fast path) with CORRECT gradients.
+#
+# TPU row gathers pay per-lane tile granularity, so halving the lane count by
+# packing bf16 pairs into f32 lanes cuts gather traffic ~45%.  But
+# ``lax.bitcast_convert_type`` has a silently-ZERO gradient, so the raw
+# pack/gather/unpack composite would kill every gradient flowing through
+# gathered features (training would break while loss stays finite).  These
+# wrappers pin the backward pass to the exact fp32 gather's VJP (gathers are
+# linear, so the scatter-add cotangent is exact; the bf16 value rounding gets
+# the standard straight-through treatment, same as any mixed-precision cast).
+# ---------------------------------------------------------------------------
+
+
+def _pack_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., C] (C even) -> [..., C//2] f32 lanes holding bf16 pairs."""
+    C = x.shape[-1]
+    xb = x.astype(jnp.bfloat16)
+    return lax.bitcast_convert_type(
+        xb.reshape(*xb.shape[:-1], C // 2, 2), jnp.float32)
+
+
+def _unpack_pairs(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """[..., C//2] f32 lanes -> [..., C] of ``dtype``."""
+    u = lax.bitcast_convert_type(x, jnp.bfloat16)
+    return u.reshape(*u.shape[:-2], u.shape[-2] * 2).astype(dtype)
+
+
+def _grb_impl(arr, idx):
+    return _unpack_pairs(gather_rows(_pack_pairs(arr), idx), arr.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _grb_op(shape, dtype):
+    """custom_vjp op specialized to arr's (shape, dtype) — shape/dtype must
+    be static in the bwd rule, and custom_vjp residuals only carry arrays."""
+
+    @jax.custom_vjp
+    def op(arr, idx):
+        return _grb_impl(arr, idx)
+
+    def fwd(arr, idx):
+        return _grb_impl(arr, idx), idx
+
+    def bwd(idx, ct):
+        _, vjp = jax.vjp(lambda a: gather_rows(a, idx),
+                         jnp.zeros(shape, dtype))
+        (darr,) = vjp(ct.astype(dtype))
+        return darr, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def gather_rows_bf16(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """:func:`gather_rows` with bf16 pair-packed rows (arr [B,N,C], C even).
+    Values are bf16-rounded; gradients are the exact gather VJP."""
+    return _grb_op(arr.shape, jnp.dtype(arr.dtype).name)(arr, idx)
+
+
+def _gcf_ref(s_pts, s_feat, idx):
+    """Exact-fp32 reference for the fused coord+feature shadow gather:
+    8 zero pad rows appended, so idx == Ns lands on zeros."""
+    packed = jnp.concatenate([s_pts, s_feat], axis=-1)
+    packed = jnp.concatenate([packed, jnp.zeros_like(packed[:, :8])], axis=1)
+    g = gather_rows(packed, idx)
+    return g[..., :3], g[..., 3:]
+
+
+def _gcf_impl(s_pts, s_feat, idx):
+    packed = jnp.concatenate([s_pts, _pack_pairs(s_feat)], axis=-1)
+    packed = jnp.concatenate([packed, jnp.zeros_like(packed[:, :8])], axis=1)
+    g = gather_rows(packed, idx)
+    return g[..., :3], _unpack_pairs(g[..., 3:], s_feat.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _gcf_op(ps, pd, fs, fd):
+    @jax.custom_vjp
+    def op(s_pts, s_feat, idx):
+        return _gcf_impl(s_pts, s_feat, idx)
+
+    def fwd(s_pts, s_feat, idx):
+        return _gcf_impl(s_pts, s_feat, idx), idx
+
+    def bwd(idx, cts):
+        ct_xyz, ct_f = cts
+        _, vjp = jax.vjp(lambda p, f: _gcf_ref(p, f, idx),
+                         jnp.zeros(ps, pd), jnp.zeros(fs, fd))
+        dp, df = vjp((ct_xyz.astype(pd), ct_f.astype(fd)))
+        return dp, df, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def gather_coord_feat_bf16(s_pts, s_feat, idx):
+    """One fused shadow-row gather of fp32 coords + bf16 pair-packed
+    features: s_pts [B,Ns,3], s_feat [B,Ns,C] (C even), idx [B,Nq,K] with
+    shadow slots already redirected to Ns.  Returns
+    (nbr_xyz [B,Nq,K,3] exact fp32, nbr_f [B,Nq,K,C] bf16-rounded).
+    Gradients are the exact gather VJP (see module comment)."""
+    return _gcf_op(s_pts.shape, jnp.dtype(s_pts.dtype).name,
+                   s_feat.shape, jnp.dtype(s_feat.dtype).name)(
+        s_pts, s_feat, idx)

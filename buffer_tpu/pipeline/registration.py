@@ -128,18 +128,21 @@ def describe_both(model: BufferModel, variables, cfg: Config, keys,
 
 
 def register_pair(model: BufferModel, variables: Dict[str, dict],
-                  inputs: PairInputs, key: jax.Array) -> RegistrationResult:
+                  inputs: PairInputs, key: jax.Array,
+                  return_intermediates: bool = False) -> RegistrationResult:
     # Geometry and trained-net matmuls must run at fp32 MXU precision: bf16
     # noise flips the VN gating and jitters patch coordinates, costing
     # matches (measured: 455 -> 600 mutual, RRE 3.8 -> 0.1 deg on the
     # synthetic sanity pair).  The bulky thresholded distance fields opt
     # back into fast bf16 explicitly (ops/neighbors.py, patch_embedder).
     with jax.default_matmul_precision("highest"):
-        return _register_pair(model, variables, inputs, key)
+        return _register_pair(model, variables, inputs, key,
+                              return_intermediates=return_intermediates)
 
 
 def _register_pair(model: BufferModel, variables: Dict[str, dict],
-                   inputs: PairInputs, key: jax.Array) -> RegistrationResult:
+                   inputs: PairInputs, key: jax.Array,
+                   return_intermediates: bool = False):
     cfg = model.cfg
     K = cfg.point.num_keypts
     k_norm, k_desc0, k_desc1, k_ransac = jax.random.split(key, 4)
@@ -176,17 +179,27 @@ def _register_pair(model: BufferModel, variables: Dict[str, dict],
 
     # 6. SO(2) azimuth via the cost volume on the reduced elevation band
     #    (models/BUFFER.py:291-292).  The tgt-equi row permutation rides
-    #    the MXU as an exact one-hot matmul (1.0 x bf16 products and
-    #    single-nonzero sums are exact): a row GATHER of the [K, 4480]
-    #    maps runs at ~22 GB/s and costs ~4.5 ms/pair.
+    #    the MXU as an EXACT one-hot matmul: a row GATHER of the [K, 4480]
+    #    maps runs at ~22 GB/s and costs ~4.5 ms/pair.  The values travel
+    #    as a bf16 hi/lo split (hi = bf16(x), lo = bf16(x - hi)) so the
+    #    permuted sum hi+lo reconstructs f32 to ~1e-5 relative — the
+    #    single-rounded bf16 variant fed the Inlier head ~0.4%-rounded
+    #    features, an avoidable accuracy regression vs the reference's
+    #    exact gather.  One concatenated matmul keeps MXU efficiency.
     band = slice(1, cfg.patch.ele_n - 1)
     t_eb = t_equi[:, band]
     K_t = t_eb.shape[0]
     onehot = (m.tgt_idx[:, None]
               == jnp.arange(K_t, dtype=m.tgt_idx.dtype)[None, :])
-    t_eb_sel = jnp.matmul(
+    t_flat = t_eb.reshape(K_t, -1).astype(jnp.float32)
+    t_hi = t_flat.astype(jnp.bfloat16)
+    t_lo = (t_flat - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    sel = jnp.matmul(
         onehot.astype(jnp.bfloat16),
-        t_eb.reshape(K_t, -1).astype(jnp.bfloat16)).astype(t_eb.dtype)
+        jnp.concatenate([t_hi, t_lo], axis=-1),
+        preferred_element_type=jnp.float32)
+    F = t_flat.shape[-1]
+    t_eb_sel = (sel[:, :F] + sel[:, F:]).astype(t_eb.dtype)
     ind = model.Inlier.apply(variables["Inlier"], s_equi[:, band],
                              t_eb_sel.reshape(K, *t_eb.shape[1:]))
 
@@ -209,11 +222,23 @@ def _register_pair(model: BufferModel, variables: Dict[str, dict],
         pose = refine.post_refinement(pose, ss_kpts, tt_kpts, m.mutual, th,
                                       iters=cfg.static.refine_iters)
 
-    return RegistrationResult(
+    result = RegistrationResult(
         pose=pose,
         num_mutual=jnp.sum(m.mutual.astype(jnp.int32)),
         num_inliers=jnp.sum(ransac_inl.astype(jnp.int32)),
         kpts=kpts, kpt_valid=kvalid)
+    if return_intermediates:
+        # per-stage tensors for the full-composite torch-oracle parity test
+        # (tests/test_parity_composite.py); traced only when requested
+        return result, {
+            "pyramid": pyr, "axis": axis, "eps": eps, "score": score,
+            "kidx": kidx, "kvalid": kvalid, "kpts": kpts, "kaxes": kaxes,
+            "s_des": s_des, "t_des": t_des, "s_equi": s_equi,
+            "t_equi": t_equi, "s_R": s_R, "t_R": t_R,
+            "matches": m, "azi_ind": ind, "best_hyp": best,
+            "vote_inliers": vote_inliers, "R_h": R_h, "t_h": t_h,
+        }
+    return result
 
 
 def make_register_fn(model: BufferModel):

@@ -29,12 +29,16 @@ def main():
                     help="reference snapshot dir with <stage>/best.pth")
     ap.add_argument("--max-pairs", type=int, default=None)
     ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--tiny", action="store_true",
+                    help="swap in the miniature static plan (CI fixtures)")
     args = ap.parse_args()
 
-    from buffer_tpu.config import make_cfg
+    from buffer_tpu.config import make_cfg, shrink_static
     from buffer_tpu.eval.harness import run_eval
 
     cfg = make_cfg(args.config).with_stage("test")
+    if args.tiny:
+        cfg = shrink_static(cfg)
     if args.data_root:
         cfg = cfg.replace(data=cfg.data.__class__(
             **{**cfg.data.__dict__, "root": args.data_root}))

@@ -41,15 +41,31 @@ def main():
     ap.add_argument("--stages", nargs="*", default=None)
     ap.add_argument("--resume", default=None,
                     help="snapshot dir to warm-start all stages from")
+    ap.add_argument("--tiny", action="store_true",
+                    help="swap in the miniature static plan (CI fixtures)")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--max-iter", type=int, default=None)
     args = ap.parse_args()
 
+    import dataclasses
     import jax
-    from buffer_tpu.config import make_cfg
+    from buffer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from buffer_tpu.config import make_cfg, shrink_static
     from buffer_tpu.models.composite import BufferModel
     from buffer_tpu.train.trainer import Trainer
     from buffer_tpu.train.checkpoint import load_file
 
     cfg = make_cfg(args.config)
+    if args.tiny:
+        cfg = shrink_static(cfg)
+    tr_over = {}
+    if args.epochs is not None:
+        tr_over["epoch"] = args.epochs
+    if args.max_iter is not None:
+        tr_over["max_iter"] = args.max_iter
+    if tr_over:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **tr_over))
     if args.data_root:
         cfg = cfg.replace(data=cfg.data.__class__(
             **{**cfg.data.__dict__, "root": args.data_root}))
