@@ -63,6 +63,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=20)
     ap.add_argument("--config", default="3DMatch")
+    ap.add_argument("--json", default=None,
+                    help="also write a one-line JSON record to this path")
+    ap.add_argument("--assert-recall", type=float, default=None,
+                    help="exit nonzero unless recall >= this (quality gate)")
     args = ap.parse_args()
 
     import jax
@@ -95,8 +99,21 @@ def main():
               f"clutter={clutter:.2f} mutual={int(res.num_mutual):4d} "
               f"RTE={rte:.4f} RRE={rre:.3f} {'OK' if ok else 'FAIL'}",
               flush=True)
-    print(f"\nsynthetic recall: {np.mean(states):.3f} over {len(states)} pairs")
+    recall = float(np.mean(states))
+    print(f"\nsynthetic recall: {recall:.3f} over {len(states)} pairs")
+    if args.json:
+        import json
+        rec = {"metric": "synthetic_recall", "value": round(recall, 4),
+               "unit": "recall@0.3m/15deg", "pairs": len(states),
+               "config": args.config}
+        with open(args.json, "w") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec))
+    if args.assert_recall is not None and recall < args.assert_recall:
+        print(f"FAIL: recall {recall:.3f} < {args.assert_recall}")
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

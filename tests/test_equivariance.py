@@ -97,3 +97,53 @@ def test_efcnn_axis_equivariance():
     ls0 = np.log10(s0[m] + 1e-30)
     ls1 = np.log10(s1[m] + 1e-30)
     assert corr(ls0, ls1) > 0.3, corr(ls0, ls1)
+
+
+@pytest.mark.skipif(not os.path.exists(PATHS["Ref"]),
+                    reason="reference checkpoints not present")
+def test_detector_golden_snapshot():
+    """Fixed-seed golden snapshot of the detector stack (VERDICT r1: the
+    0.3-correlation equivariance gate alone cannot catch a real regression
+    in the eps/saliency heads).
+
+    Golden values live in tests/golden/detector.npz.  Regenerate after an
+    INTENTIONAL numeric change with:
+
+        REGEN_GOLDEN=1 python -m pytest tests/test_equivariance.py -k golden
+    """
+    cfg = tiny_cfg()
+    model = BufferModel(cfg)
+    from buffer_tpu.compat.torch_convert import load_variables
+    variables = load_variables(PATHS)
+
+    pts = _surface(900, 3)
+    from buffer_tpu.ops.subsample import voxel_subsample_np
+    sds = voxel_subsample_np(pts, cfg.data.voxel_size_0).astype(np.float32)
+    S = cfg.static.points_l0
+    p = np.zeros((S, 3), np.float32)
+    p[: len(sds)] = sds[:S]
+    m = np.zeros(S, bool)
+    m[: min(len(sds), S)] = True
+
+    pts2 = jnp.asarray(np.stack([p, p]))
+    msk2 = jnp.asarray(np.stack([m, m]))
+    pyr = build_pyramid_and_normals(cfg, pts2, msk2)
+    axis, eps, branch = model.Ref.apply(variables["Ref"], pyr)
+    score = model.Keypt.apply(variables["Keypt"], pyr, branch)
+    got = {
+        "axis": np.asarray(axis[0])[m][:64],
+        "eps": np.asarray(eps[0])[m][:64, 0],
+        "log_score": np.log10(np.asarray(score[0])[m][:64, 0] + 1e-30),
+    }
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "detector.npz")
+    if os.environ.get("REGEN_GOLDEN"):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(path, **got)
+        pytest.skip("regenerated golden snapshot")
+    assert os.path.exists(path), "golden snapshot missing; run REGEN_GOLDEN=1"
+    ref = np.load(path)
+    np.testing.assert_allclose(got["axis"], ref["axis"], atol=1e-4)
+    np.testing.assert_allclose(got["eps"], ref["eps"], atol=1e-4)
+    # log-saliency spans ~30 decades; 1e-2 in log10 = 2.3% relative
+    np.testing.assert_allclose(got["log_score"], ref["log_score"], atol=1e-2)
