@@ -8,6 +8,8 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     import jax
+    from buffer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from buffer_tpu.config import make_cfg
     from buffer_tpu.models.composite import BufferModel

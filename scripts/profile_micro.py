@@ -11,6 +11,8 @@ sys.path.insert(0, "/root/repo")
 
 def scan_time(make_body, n_lo=2, n_hi=12, reps=3):
     import jax
+    from buffer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     def run(n):

@@ -19,6 +19,8 @@ RTT_REPS = 3
 def scan_time(make_body, n_lo=2, n_hi=12):
     """make_body(i) -> small output; returns ms per iteration."""
     import jax
+    from buffer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     def run(n):
         def f(_):

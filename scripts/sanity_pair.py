@@ -9,6 +9,8 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     import jax
+    from buffer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from buffer_tpu.config import make_cfg
     from buffer_tpu.models.composite import BufferModel
     from buffer_tpu.compat.torch_convert import load_variables
