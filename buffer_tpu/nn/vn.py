@@ -309,6 +309,12 @@ def vnn_block_planes(
     per-neighbor form [3*M*K, cin] @ [cin, cout] is SLOWER despite 34x
     fewer FLOPs: its cout-wide (10-40 lane) intermediates pay ~8x tile
     padding on every elementwise pass (measured 97 -> 113 ms/pair).
+    A fully-fused Pallas kernel of this block (dense per-neighbor matmuls
+    + the whole elementwise chain in VMEM) was also measured SLOWER —
+    3.38 vs 1.41 ms at the enc2 shape (M=24576, K=34, 10->10): its
+    [3*cout, TR] blocks keep only ~30 sublanes busy while this layout
+    feeds the MXU full [*, K*Cin] tiles.  Kernel deleted; this is the
+    record of that experiment.
     """
     parts = x if isinstance(x, (tuple, list)) else (x,)
     M, K, _ = parts[0].shape
