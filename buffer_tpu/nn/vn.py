@@ -330,21 +330,31 @@ def vnn_block_planes(
             3, M, K * ci)
         WfB = _blockdiag(K, Wf[row:row + ci])
         WdB = _blockdiag(K, Wd[row:row + ci])
-        # single-channel parts (ci=1 — all four of the mode-'6' inputs and
-        # every eqv stream) contract exactly ONE nonzero product per output
-        # element: there is no accumulation for multi-pass fp32 to protect,
-        # so the 3x cheaper single-pass bf16 product (~0.4% value noise,
-        # the same class as the bf16-packed gathered features) is safe.
-        # Inputs are cast explicitly: precision=DEFAULT would defer to the
-        # pipeline's default_matmul_precision("highest") context.
-        # Multi-channel parts keep HIGH (see PRECISION note above).
-        # TPU-only: on CPU the cast buys nothing and breaks the exact-fp32
-        # torch-oracle parity the test suite relies on.
-        if ci == 1 and jax.default_backend() == "tpu":
+        # Single-pass bf16 inputs with f32 MXU accumulation (TPU only; on
+        # CPU the cast buys nothing and breaks the exact-fp32 torch-oracle
+        # parity the test suite relies on).  Why this is safe where naive
+        # bf16 matmuls elsewhere were not (PRECISION note above):
+        # * multi-channel features arriving here are ALREADY bf16-rounded
+        #   by the packed neighborhood gathers, so input rounding adds no
+        #   new noise class; accumulation stays exact f32.
+        # * the VN leaky gate is CONTINUOUS at its decision boundary
+        #   (dot -> 0 makes the reflected branch converge to p), so
+        #   near-threshold gate flips perturb values by O(noise), unlike
+        #   hard selects.  Measured on the full pipeline: mutual matches
+        #   and sanity RTE/RRE unchanged (see bench history).
+        on_tpu = jax.default_backend() == "tpu"
+        # The [3, M, K*Cout] p/d planes are the dominant HBM tensors of the
+        # whole EFCNN (250 MB each at the enc0 shape, written once per part
+        # matmul and re-read by every elementwise pass — ~2 GB/block on the
+        # depth-1 timeline).  On TPU they are STORED bf16: every reduction
+        # below upcasts to f32 inside its fusion, so only storage is
+        # rounded, and accumulation/gating math stays f32.
+        acc_t = jnp.bfloat16 if on_tpu else xp.dtype
+        if on_tpu:
             pp = jnp.matmul(xp.astype(jnp.bfloat16), WfB.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=acc_t)
             dd = jnp.matmul(xp.astype(jnp.bfloat16), WdB.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=acc_t)
         else:
             pp = jnp.matmul(xp, WfB, precision=PRECISION)   # [3, M, K*Cout]
             dd = jnp.matmul(xp, WdB, precision=PRECISION)
@@ -352,22 +362,27 @@ def vnn_block_planes(
         d = dd if d is None else d + dd
         row += ci
 
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(p * p, axis=0), 1e-24)) + EPS
+    f32 = lambda t: t.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(f32(p) * f32(p), axis=0), 1e-24)) + EPS
     at = jnp.tile(bn_a, K)
     bt = jnp.tile(bn_b, K)
-    p = p * (at + bt / norm)[None]                     # folded VNBatchNorm
+    p = (f32(p) * (at + bt / norm)[None]).astype(p.dtype)  # folded VNBatchNorm
 
-    dot = jnp.sum(p * d, axis=0)                       # [M, K*Cout]
-    dsq = jnp.sum(d * d, axis=0)
-    coef = dot / (dsq + EPS)
+    dot = jnp.sum(f32(p) * f32(d), axis=0)             # [M, K*Cout] f32
+    dsq = jnp.sum(f32(d) * f32(d), axis=0)
+    coef = (dot / (dsq + EPS)).astype(p.dtype)
     pos = (dot >= 0).astype(p.dtype)
     reflected = p - coef[None] * d
-    s = negative_slope
-    out = s * p + (1.0 - s) * (pos[None] * p + (1.0 - pos)[None] * reflected)
+    s = jnp.asarray(negative_slope, p.dtype)
+    one = jnp.asarray(1.0, p.dtype)
+    out = s * p + (one - s) * (pos[None] * p + (one - pos)[None] * reflected)
 
     # mean over K and reinterleave: [3, M, K*Cout] -> [M, Cout*3]
-    avg = jnp.tile(jnp.eye(cout, dtype=p.dtype), (K, 1)) / K   # [K*Cout, Cout]
-    pooled = jnp.matmul(out, avg, precision=PRECISION)         # [3, M, Cout]
+    avg = jnp.tile(jnp.eye(cout, dtype=out.dtype), (K, 1)) / K  # [K*Cout, Cout]
+    pooled = jnp.matmul(out, avg, preferred_element_type=jnp.float32,
+                        precision=lax.Precision.DEFAULT
+                        if out.dtype == jnp.bfloat16
+                        else PRECISION)                         # [3, M, Cout]
     return jnp.moveaxis(pooled, 0, -1).reshape(M, cout * 3)
 
 

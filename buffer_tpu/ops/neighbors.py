@@ -272,11 +272,21 @@ def nearest_banded(
     query_block: int = 512,
     query_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Rank-banded exact-in-window 1-NN for Morton-ordered clouds."""
+    """Rank-banded exact-in-window 1-NN for Morton-ordered clouds.
+
+    query_block=512 is measured-optimal at the level-0-upsample shape
+    (30720 queries, 12288 support): 4096-query blocks looked like they
+    should amortize the 60 sequential step launches, but the [4096, win]
+    f32 distance field they materialize made the stage 4.5 -> 9.9 ms on
+    the depth-1 timeline.  Small tiles stay cache-resident; don't "fix"
+    the step count again without a trace.  The window grows by the
+    support ranks a block spans, so per-query coverage stays at +-band
+    regardless of block size."""
     Q = query.shape[0]
     S = support.shape[0]
-    win = 2 * band
     qb = query_block
+    span = -(-qb * S // Q)            # support ranks spanned by one block
+    win = min(_round_up_rows(2 * band + span, 256), S)
     Qp = _round_up_rows(Q, qb)
     qpad = _pad_rows(query, qb, 0.0)
     starts = _band_starts(Qp, S, qb, win, query_valid, support_valid)
