@@ -483,7 +483,9 @@ def banded_knn_tpu(
     k: int,
     radius,                      # float or None
     band: int = 3072,
-    q_tile: int = 8,
+    q_tile: int = 16,            # 16 amortizes the [LW, NSg] window loads
+                                 # over 2x the queries vs 8 (the window is
+                                 # ~2x the tile's output volume)
     win_rows: int = 32,
     n_segs: int = 256,
 ) -> tuple:
@@ -573,3 +575,119 @@ def banded_tpu_supported(S: int, win_rows: int = 32, n_segs: int = 256) -> bool:
     padded rank fits the 16-bit packed index and the window fits the grid."""
     NR = -(-S // n_segs)
     return NR * n_segs <= (1 << 16) and (NR // 16) * 16 >= 16
+
+
+# ---------------------------------------------------------------------------
+# banded 1-NN: the upsample tables (closest coarse point per fine point)
+# ---------------------------------------------------------------------------
+
+
+def _bnn1_kernel(LW, NSg, Qt, NR, q_ref, ratio_ref, tid_ref, gx_ref,
+                 gy_ref, gz_ref, gv_ref, out_ref):
+    """Per query tile: the nearest valid support point of each rank SEGMENT
+    in the tile's window, as packed (distance | rank) keys.
+
+    A trimmed _bknn_kernel: one min pass, no second-nearest, no radius.
+    The XLA `nearest_banded` scan this replaces materialized a [qb, win]
+    f32 distance field per step (4.5 ms/pair on the depth-1 timeline for
+    the level-0 upsample); here the field lives in VMEM.
+    """
+    ratio = ratio_ref[0, 0]
+    i = tid_ref[0, 0, 0].astype(jnp.float32)
+    center = (i * Qt + Qt / 2) * ratio
+    row = center / NSg
+    r0 = jnp.clip(((row / 8.0 + 0.5).astype(jnp.int32)) * 8 - LW // 2,
+                  0, max(((NR - LW) // 8) * 8, 0))
+    r0 = pl.multiple_of(r0, 8)
+
+    qt = q_ref[...]                                  # [Qt, 3]
+    sx = gx_ref[pl.ds(r0, LW), :]                    # [LW, NSg]
+    sy = gy_ref[pl.ds(r0, LW), :]
+    sz = gz_ref[pl.ds(r0, LW), :]
+    sv = gv_ref[pl.ds(r0, LW), :]
+
+    dx = qt[:, 0][:, None, None] - sx[None]
+    dy = qt[:, 1][:, None, None] - sy[None]
+    dz = qt[:, 2][:, None, None] - sz[None]
+    d2 = dx * dx + dy * dy + dz * dz                 # [Qt, LW, NSg]
+    d2 = d2 + (1.0 - sv)[None] * BIG
+
+    rowi = lax.broadcasted_iota(jnp.int32, (Qt, LW, NSg), 1).astype(jnp.float32)
+    m1 = jnp.min(d2, axis=1)                         # [Qt, NSg]
+    oh = (d2 == m1[:, None, :]).astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(oh, axis=1), 1.0)
+    r1 = jnp.sum(oh * rowi, axis=1) / cnt            # window row of winner
+
+    col = lax.broadcasted_iota(jnp.int32, (Qt, NSg), 1)
+    idx = (r0 + r1.astype(jnp.int32)) * NSg + col    # global support rank
+    mi = pltpu.bitcast(m1, jnp.int32)
+    out_ref[...] = pltpu.bitcast((mi & ~0xFFFF) | idx, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "win_rows", "n_segs"))
+def banded_nn1_tpu(
+    query: jnp.ndarray,          # [Q, 3] Morton-ordered
+    support: jnp.ndarray,        # [S, 3] Morton-ordered (same curve)
+    support_valid: jnp.ndarray,  # [S] bool
+    query_valid: jnp.ndarray,    # [Q] bool
+    q_tile: int = 8,
+    win_rows: int = 32,
+    n_segs: int = 256,
+) -> tuple:
+    """Rank-banded exact-in-window 1-NN.  Returns (sqdist [Q], idx [Q]).
+
+    Distances lose 16 mantissa bits to the packed rank (<0.8% relative);
+    callers only threshold them (upsample validity `d2 <= (2r)^2`)."""
+    Q = query.shape[0]
+    S = support.shape[0]
+    NSg = n_segs
+    NR = -(-S // NSg)
+    Sp = NR * NSg
+    if Sp > (1 << 16):
+        raise ValueError("banded_nn1_tpu: padded support exceeds 16-bit "
+                         "packed rank; use nearest_banded")
+    LW = min(win_rows, (NR // 16) * 16)
+    if LW < 16:
+        raise ValueError("banded_nn1_tpu: support too small for a banded "
+                         "window; use nearest_tpu")
+    sup = jnp.pad(support, ((0, Sp - S), (0, 0)))
+    sv = jnp.pad(support_valid.astype(jnp.float32), (0, Sp - S))
+    gx = sup[:, 0].reshape(NR, NSg)
+    gy = sup[:, 1].reshape(NR, NSg)
+    gz = sup[:, 2].reshape(NR, NSg)
+    gv = sv.reshape(NR, NSg)
+
+    Qp = _round_up(Q, q_tile)
+    qpad = jnp.pad(query, ((0, Qp - Q), (0, 0)))
+    n_tiles = Qp // q_tile
+
+    qn = jnp.maximum(jnp.sum(query_valid.astype(jnp.float32)), 1.0)
+    sn = jnp.maximum(jnp.sum(support_valid.astype(jnp.float32)), 1.0)
+    ratio = jnp.full((8, 128), sn / qn, jnp.float32)
+    tids = jnp.broadcast_to(
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None, None],
+        (n_tiles, 8, 128))
+
+    spec_q = pl.BlockSpec((q_tile, 3), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_g = pl.BlockSpec((NR, NSg), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    keys = pl.pallas_call(
+        functools.partial(_bnn1_kernel, LW, NSg, q_tile, NR),
+        grid=(n_tiles,),
+        in_specs=[spec_q,
+                  pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  spec_g, spec_g, spec_g, spec_g],
+        out_specs=pl.BlockSpec((q_tile, NSg), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Qp, NSg), jnp.float32),
+    )(qpad, ratio, tids, gx, gy, gz, gv)
+
+    best = jnp.min(keys[:Q], axis=1)                 # packed order-preserving
+    ki = jax.lax.bitcast_convert_type(best, jnp.int32)
+    idx = ki & 0xFFFF
+    d = jax.lax.bitcast_convert_type(ki & ~0xFFFF, jnp.float32)
+    return jnp.maximum(d, 0.0), jnp.minimum(idx, S - 1)

@@ -328,6 +328,13 @@ def nearest(
     only; descriptor-space 1-NN keeps the XLA path.  With ``band`` set
     (Morton-ordered inputs) only the rank window is searched."""
     if band is not None and 2 * band < support.shape[0]:
+        if (jax.default_backend() == "tpu" and query.ndim == 2
+                and query.shape[-1] == 3 and query_valid is not None):
+            from buffer_tpu.kernels.geom_pallas import (
+                banded_nn1_tpu, banded_tpu_supported)
+            if banded_tpu_supported(support.shape[0]):
+                return banded_nn1_tpu(query, support, support_valid,
+                                      query_valid)
         return nearest_banded(query, support, support_valid, band,
                               query_valid=query_valid)
     if (method == "auto" and query.ndim == 2 and query.shape[-1] == 3

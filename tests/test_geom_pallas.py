@@ -134,3 +134,35 @@ def test_banded_knn_recall_on_sorted_cloud():
         assert (d[q][v[q]] <= r * r + 1e-6).all()
         assert (np.diff(d[q][v[q]]) >= -1e-6).all()
     assert np.mean(rec) > 0.97, np.mean(rec)
+
+
+def test_banded_nn1_matches_bruteforce():
+    """Banded 1-NN on a Morton-sorted cloud must return the true nearest
+    support point (exact within the rank window; the window covers the
+    whole cloud at this size)."""
+    from buffer_tpu.data.preprocess import morton_sort
+
+    rs = np.random.RandomState(5)
+    q = morton_sort(rs.rand(2048, 3).astype(np.float32))
+    s = morton_sort(rs.rand(2048, 3).astype(np.float32))
+    sval = np.ones(2048, bool)
+    sval[1500:1600] = False        # an invalid stretch must never win
+
+    d, i = gp.banded_nn1_tpu.__wrapped__(
+        jnp.asarray(q), jnp.asarray(s), jnp.asarray(sval),
+        jnp.asarray(np.ones(2048, bool)), q_tile=8, win_rows=16, n_segs=128)
+    d, i = np.asarray(d), np.asarray(i)
+
+    d2 = ((q[:, None] - s[None]) ** 2).sum(-1)
+    d2[:, ~sval] = 1e18
+    true_i = d2.argmin(1)
+    true_d = d2[np.arange(len(q)), true_i]
+    # window covers everything here (16*128 = 2048 ranks) => exact match
+    # except where the 16 packed mantissa bits make two support points
+    # tie; such flips must themselves be near-ties in true distance
+    agree = i == true_i
+    assert agree.mean() > 0.995, agree.mean()
+    flip_d = d2[np.where(~agree)[0], i[~agree]]
+    np.testing.assert_allclose(flip_d, true_d[~agree], rtol=2e-2)
+    np.testing.assert_allclose(d, true_d, rtol=1e-2)
+    assert sval[i].all()
