@@ -60,6 +60,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="full", choices=["full", "small"])
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="pairs registered per step (vmap); default: the "
+                         "config's static.pair_batch")
     args = ap.parse_args()
 
     import jax
@@ -91,21 +94,34 @@ def main():
     # pipeline achieves by streaming pairs without host sync.
     import jax.numpy as jnp
 
+    P = args.batch if args.batch else getattr(cfg.static, "pair_batch", 1)
+    binputs = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * P), inputs)      # [P, 2, ...]
+
     def run_n(n):
-        def f(variables, inputs, key):
+        def f(variables, binputs, key):
             def body(c, inp):
-                k, i = inp
+                ks, i = inp                        # ks: [P] keys
                 # perturb every point input per iteration: without this,
                 # XLA hoists the (loop-invariant) pyramid/EFCNN work out of
                 # the scan and the bench overstates throughput
                 eps = i.astype(jnp.float32) * 1e-12
-                jogged = inputs._replace(
-                    raw=inputs.raw + eps, sds=inputs.sds + eps,
-                    lvl1=inputs.lvl1 + eps, lvl2=inputs.lvl2 + eps)
-                r = register_pair(model, variables, jogged, k)
-                return c, (r.pose, r.num_mutual)
+                jogged = binputs._replace(
+                    raw=binputs.raw + eps, sds=binputs.sds + eps,
+                    lvl1=binputs.lvl1 + eps, lvl2=binputs.lvl2 + eps)
+                if P == 1:
+                    # NOT a vmap over a singleton axis: the leading unit
+                    # dim re-layouts every op and costs ~28 ms/pair
+                    one = jax.tree_util.tree_map(lambda x: x[0], jogged)
+                    r = register_pair(model, variables, one, ks[0])
+                    return c, (r.pose, r.num_mutual)
+                r = jax.vmap(
+                    lambda bi, k: register_pair(model, variables, bi, k)
+                )(jogged, ks)
+                return c, (r.pose[0], r.num_mutual[0])
             _, (poses, nm) = jax.lax.scan(
-                body, 0, (jax.random.split(key, n), jnp.arange(n)))
+                body, 0, (jax.random.split(key, n * P).reshape(n, P, -1),
+                          jnp.arange(n)))
             return poses, nm
         return jax.jit(f)
 
@@ -114,22 +130,22 @@ def main():
     key = jax.random.PRNGKey(0)
 
     t0 = time.time()
-    np.asarray(f_lo(variables, inputs, key)[0])
-    np.asarray(f_hi(variables, inputs, key)[0])
+    np.asarray(f_lo(variables, binputs, key)[0])
+    np.asarray(f_hi(variables, binputs, key)[0])
     compile_s = time.time() - t0
 
     def sync(g, reps=3):
         best = 1e9
         for _ in range(reps):
             t1 = time.time()
-            out = g(variables, inputs, key)
+            out = g(variables, binputs, key)
             np.asarray(out[0]).ravel()[:1]
             best = min(best, time.time() - t1)
         return best, out
 
     t_lo, _ = sync(f_lo)
     t_hi, out = sync(f_hi)
-    dt = (t_hi - t_lo) / (n_hi - n_lo)
+    dt = (t_hi - t_lo) / (n_hi - n_lo) / P
     pairs_per_sec = 1.0 / dt
 
     poses, nmut = np.asarray(out[0]), np.asarray(out[1])
@@ -157,6 +173,7 @@ def main():
             "mutual_matches": int(res.num_mutual),
             "platform": jax.devices()[0].platform,
             "size": args.size,
+            "pair_batch": P,
         },
     }))
     return 0

@@ -398,6 +398,17 @@ def _bknn_kernel(LW, NSg, Qt, NR, r2, q_ref, ratio_ref, tid_ref, gx_ref,
     """Per query tile: the 2 nearest valid support points of each of NSg
     STRIDE-INTERLEAVED rank segments in the tile's window.
 
+    Negative results (r2), measured on the full pipeline — do not repeat:
+    * MXU cross-term + streaming rows: one [Qt,3]@[3,WIN] HIGHEST dot on
+      query-centered coords, then a 32-step running top-2 over contiguous
+      [Qt, NSg] rank rows of the flat [Qt, WIN] field.  8.2 -> 9.5 ms
+      here and 3.0 -> 6.9 ms in the 1-NN variant: the wide f32 field +
+      serial row chain loses to this 3D broadcast form, whose ~8 VPU
+      passes are fully parallel.
+    * in-kernel top-k (34 min+knockout steps over the packed candidates,
+      replacing the XLA sort outside): 87 -> 151 ms/pair — ~500 serial
+      lane-reduce ops per tile.
+
     Support is pre-gridded [NR, NSg] row-major (grid[r, s] = rank
     r*NSg + s), so segment s = {ranks congruent to s mod NSg}.  On a
     Morton-ordered cloud the true k-NN occupy CONSECUTIVE ranks — a

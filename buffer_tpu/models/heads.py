@@ -38,8 +38,12 @@ class CostVolume(nn.Module):
     @nn.compact
     def __call__(self, des1: jnp.ndarray, des2: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
-        """des*: [M, ele_band, azi, C].  Returns continuous bin index [M]."""
-        cost = _azimuth_rolls(des1, self.azi_n) - des2[:, None]  # [M,20,k,azi,C]
-        logits = CostNet(self.azi_n, name="conv")(cost, train=train)  # [M,20]
+        """des*: [M, ele_band, azi, C].  Returns continuous bin index [M].
+
+        The [M, azi_n, ele, azi, C] roll-subtract volume is never built:
+        CostNet's first conv is factored through its circulant structure
+        (nn/cylindrical.CostNet._first_from_equis — exact, same params)."""
+        logits = CostNet(self.azi_n, name="conv")(
+            equis=(des1, des2), train=train)                      # [M,20]
         prob = nn.softmax(logits, axis=-1)
         return jnp.sum(prob * jnp.arange(self.azi_n, dtype=prob.dtype), axis=-1)

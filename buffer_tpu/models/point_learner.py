@@ -56,6 +56,10 @@ class Pyramid(NamedTuple):
     upsamples: Tuple[jnp.ndarray, ...]       # [B, N_l] int32 (into level l+1)
     upsample_valid: Tuple[jnp.ndarray, ...]  # [B, N_l] bool
     features: jnp.ndarray                    # [B, N_0, 3] input normals
+    # optional: level-0 neighbor-minus-query offsets straight from the
+    # banded-kNN kernel's VMEM window (masked to 0 at invalid slots) — lets
+    # the first conv skip its coordinate gather (pipeline/pyramid.py)
+    l0_off: Optional[jnp.ndarray] = None     # [B, N_0, K_0, 3]
 
 
 def _bgather(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -70,6 +74,7 @@ def gather_neighborhood(
     s_pts: jnp.ndarray, s_feat: jnp.ndarray, q_pts: jnp.ndarray,
     idx: jnp.ndarray, valid: jnp.ndarray, scale: float,
     pack: Optional[bool] = None,
+    offsets: Optional[jnp.ndarray] = None,
 ):
     """Gather neighbor features and scale-normalized centered offsets.
 
@@ -99,6 +104,13 @@ def gather_neighborhood(
     # gathered row would otherwise yield -q/scale)
     Ns = s_pts.shape[1]
     idx = jnp.where(valid, idx, Ns)
+    if offsets is not None:
+        # neighbor offsets already emitted by the banded-kNN kernel
+        # (pre-masked to 0): only the features need a gather
+        feat = jnp.concatenate(
+            [s_feat, jnp.zeros_like(s_feat[:, :8])], axis=1)
+        nbr_f = _bgather(feat, idx)
+        return nbr_f, offsets / scale
     if pack:
         nbr_xyz, nbr_f = gather_coord_feat_bf16(s_pts, s_feat, idx)
     else:
@@ -136,8 +148,10 @@ class VNNConvBlock(nn.Module):
     scale: float
 
     @nn.compact
-    def __call__(self, x, q_pts, q_mask, s_pts, idx, valid, train=False):
-        neighb_x, eqv = gather_neighborhood(s_pts, x, q_pts, idx, valid, self.scale)
+    def __call__(self, x, q_pts, q_mask, s_pts, idx, valid, train=False,
+                 offsets=None):
+        neighb_x, eqv = gather_neighborhood(s_pts, x, q_pts, idx, valid,
+                                            self.scale, offsets=offsets)
         inp = _vnn_input(neighb_x, eqv, self.mode)
         bn_mask = jnp.broadcast_to(q_mask[:, :, None], idx.shape)
         return VNLinearLeakyReLUFlat(self.out_dim, reduce_k=True, name="conv")(
@@ -263,7 +277,8 @@ class EFCNN(nn.Module, _DecoderMixin):
         f = pyr.features                                # [B,N0,3] = flat C=1
         x0 = VNNConvBlock(self.first_dim, "6", self.scale, name="encoder_blocks_0")(
             f, pyr.points[0], pyr.masks[0], pyr.points[0],
-            pyr.neighbors[0], pyr.neighbor_valid[0], train)
+            pyr.neighbors[0], pyr.neighbor_valid[0], train,
+            offsets=pyr.l0_off)
         skip0 = x0
         x1 = VNNResnetBlock(self.first_dim, self.scale, strided=True,
                             name="encoder_blocks_1")(

@@ -119,6 +119,34 @@ def normals_from_neighbors(
     return jnp.where(valid[:, None], n, 0.0)
 
 
+def normals_from_offsets(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    off: jnp.ndarray,
+    nvalid: jnp.ndarray,
+    viewpoint: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """PCA normals from neighbor-minus-query offsets (no coordinate
+    gather): covariance is translation-invariant, so centering the offsets
+    on their own mean gives exactly :func:`normals_from_neighbors`'s
+    mean-centered covariance.  Offsets come from the banded kNN kernel's
+    VMEM window (ops/neighbors.radius_knn_offsets).
+
+    points [B, N, 3]; valid [B, N]; off [B, N, k, 3]; nvalid [B, N, k]."""
+    import jax
+    w = nvalid.astype(points.dtype)[..., None]
+    cnt = jnp.maximum(jnp.sum(w, axis=-2), 1.0)
+    mean = jnp.sum(off * w, axis=-2) / cnt
+    centered = (off - mean[..., None, :]) * w
+    cov = jnp.einsum("...ki,...kj->...ij", centered, centered,
+                     precision=jax.lax.Precision.HIGHEST)
+    n = smallest_eigvec_sym3(cov)
+    vp = jnp.zeros((3,), points.dtype) if viewpoint is None else viewpoint
+    flip = jnp.sum(n * (vp - points), axis=-1) < 0
+    n = jnp.where(flip[..., None], -n, n)
+    return jnp.where(valid[..., None], n, 0.0)
+
+
 def cal_z_axis(
     local_cor: jnp.ndarray,
     ref_point: jnp.ndarray,

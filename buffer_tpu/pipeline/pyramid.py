@@ -20,8 +20,14 @@ import jax.numpy as jnp
 from buffer_tpu.config import Config
 from buffer_tpu.models.point_learner import Pyramid
 from buffer_tpu.ops.neighbors import radius_knn, nearest
-from buffer_tpu.ops.normals import normals_from_neighbors
+from buffer_tpu.ops.normals import normals_from_neighbors, normals_from_offsets
 from buffer_tpu.ops.subsample import voxel_subsample
+
+
+def _use_offsets_path() -> bool:
+    """TPU: one shared coordinate gather for normals + level-0 conv
+    offsets.  A function so tests can force the branch on CPU."""
+    return jax.default_backend() == "tpu"
 
 
 def build_pyramid_and_normals(cfg: Config, points: jnp.ndarray,
@@ -31,13 +37,16 @@ def build_pyramid_and_normals(cfg: Config, points: jnp.ndarray,
     The level-0 conv neighbor list and the kNN for PCA normals query the
     same 30k x 30k distance field; one unrestricted kNN pass with
     k = max(normal_knn, cap_0) serves both (results sorted ascending, so
-    the conv list is the radius-masked prefix).
+    the conv list is the radius-masked prefix).  On TPU one shared
+    coordinate gather also serves both the normals PCA and the level-0
+    conv's centered offsets (they were two separate [2M]-row gathers).
     """
     st = cfg.static
     r0 = cfg.data.voxel_size_0 * cfg.point.conv_radius
     k0 = max(st.normal_knn, st.neighbor_caps[0])
 
     band = st.knn_band or None
+    kc = st.neighbor_caps[0]
 
     def per_cloud(pts0, m0):
         return radius_knn(pts0, pts0, m0, k=k0, radius=None,
@@ -45,15 +54,41 @@ def build_pyramid_and_normals(cfg: Config, points: jnp.ndarray,
                           band=band, query_valid=m0)
 
     d2, idx, v = jax.vmap(per_cloud)(points, masks)
-    # batched flat-gather normals (outside the vmap: the vmapped gather
-    # form is ~2.4x slower on TPU)
-    normals = normals_from_neighbors(points, masks, idx[..., : st.normal_knn],
-                                     v[..., : st.normal_knn])
-    kc = st.neighbor_caps[0]
+    if _use_offsets_path():
+        # ONE batched flat coordinate gather serves both the normals PCA
+        # and the level-0 conv's centered offsets (eqv): previously these
+        # were two separate [2M]-row gathers (+ layout copies), the
+        # dominant cost of the pyramid stage.  Covariance is translation-
+        # invariant, so offset-mean centering is exact.
+        #
+        # Negative result (r2): moving the top-k selection itself into the
+        # banded kNN kernel (34 min+knockout steps over the [16, 512]
+        # packed candidates, replacing the XLA approx_max_k sort) measured
+        # 87 -> 151 ms/pair — the extraction chain is fully serial on tiny
+        # vectors and the VPU crawls through ~500 dependent lane-reduce
+        # ops per tile.  XLA's batched sort is the better tool there.
+        from buffer_tpu.ops.neighbors import gather_rows
+        idxc = jnp.minimum(idx, points.shape[1] - 1)
+        off = gather_rows(points, idxc) - points[:, :, None, :]
+        normals = normals_from_offsets(points, masks,
+                                       off[..., : st.normal_knn, :],
+                                       v[..., : st.normal_knn])
+        l0_off = off[..., :kc, :]
+    else:
+        # batched flat-gather normals (outside the vmap: the vmapped gather
+        # form is ~2.4x slower on TPU); kept as the CPU path so the golden
+        # detector snapshots and torch-oracle parity see unchanged rounding
+        normals = normals_from_neighbors(points, masks,
+                                         idx[..., : st.normal_knn],
+                                         v[..., : st.normal_knn])
+        l0_off = None
     idx0 = idx[..., :kc]
     valid0 = v[..., :kc] & (d2[..., :kc] <= r0 * r0) & masks[..., None]
     pyr = _build_pyramid(cfg, points, masks, normals, l0=(idx0, valid0),
                          levels=levels)
+    if l0_off is not None:
+        pyr = pyr._replace(
+            l0_off=jnp.where(valid0[..., None], l0_off, 0.0))
     return pyr
 
 

@@ -225,3 +225,46 @@ class TestGridMath:
         out = np.asarray(out)[0, :, 0, :]
         # after derotation every azimuth anchor lands on azimuth bin 0
         np.testing.assert_allclose(out, np.tile(out[:1], (azi_n, 1)), atol=1e-5)
+
+
+class TestOffsetsPyramidPath:
+    def test_offsets_path_matches_gather_path(self, monkeypatch):
+        """The TPU branch of build_pyramid_and_normals (one shared
+        coordinate gather -> normals_from_offsets + l0_off for the first
+        conv) must reproduce the CPU branch's normals and neighbor tables.
+        Forced on CPU by monkeypatching the module's backend check."""
+        from buffer_tpu.config import tiny_cfg
+        from buffer_tpu.pipeline import pyramid as pyr_mod
+
+        cfg = tiny_cfg()
+        rs = np.random.RandomState(0)
+        B, N = 2, cfg.static.points_l0
+        pts = jnp.asarray(rs.rand(B, N, 3).astype(np.float32))
+        masks = jnp.asarray(np.ones((B, N), bool))
+
+        ref = pyr_mod.build_pyramid_and_normals(cfg, pts, masks)
+        assert ref.l0_off is None
+
+        monkeypatch.setattr(pyr_mod, "_use_offsets_path", lambda: True)
+        got = pyr_mod.build_pyramid_and_normals(cfg, pts, masks)
+        monkeypatch.undo()
+
+        np.testing.assert_array_equal(np.asarray(got.neighbors[0]),
+                                      np.asarray(ref.neighbors[0]))
+        np.testing.assert_array_equal(np.asarray(got.neighbor_valid[0]),
+                                      np.asarray(ref.neighbor_valid[0]))
+        # unit normals; offset-mean centering reassociates the covariance
+        # sums, so near-degenerate neighborhoods may move an eigvector by
+        # O(1e-4) — compare by cosine
+        a, b = np.asarray(got.features), np.asarray(ref.features)
+        cos = (a * b).sum(-1)
+        assert (cos > 1 - 1e-5).all(), cos.min()
+        # l0_off must equal gathered neighbor - query at valid slots
+        off = np.asarray(got.l0_off)
+        idx = np.asarray(ref.neighbors[0])
+        v = np.asarray(ref.neighbor_valid[0])
+        p = np.asarray(pts)
+        for b in range(B):
+            want = p[b][np.minimum(idx[b], N - 1)] - p[b][:, None, :]
+            np.testing.assert_allclose(off[b][v[b]], want[v[b]], atol=1e-6)
+        assert (off[~v] == 0).all()
