@@ -109,6 +109,8 @@ def ball_sample_points_tpu(
     radius: float,
     k: int,
     q_tile: int = 8,             # [Qt, L, NS] fp32 intermediates live in VMEM
+                                 # (16 measured neutral; KITTI's L=1024
+                                 # grid would double to 8 MB/tile)
 ) -> tuple:
     """Fused ball_sample + coordinate gather.
 
@@ -284,6 +286,9 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, block_ref, Rt_ref, Wx_ref,
         px = blk[:, 0:1]                            # [S, 1]
         py = blk[:, 1:2]
         pz = blk[:, 2:3]
+        # NOTE (r2): one [S,3]@[3,A] HIGHEST dot for this field measured
+        # SLOWER than these 6 VPU passes (tiny-K MXU dots issued per
+        # keypoint are latency-bound).
         d2 = ((px - ax) ** 2 + (py - ay) ** 2 + (pz - az) ** 2)   # [S, A]
         score = jnp.where(d2 <= r2, u, -BIG)        # [S, A]
 
@@ -496,7 +501,8 @@ def banded_knn_tpu(
     band: int = 3072,
     q_tile: int = 16,            # 16 amortizes the [LW, NSg] window loads
                                  # over 2x the queries vs 8 (the window is
-                                 # ~2x the tile's output volume)
+                                 # ~2x the tile's output volume; 32 measured
+                                 # neutral and doubles VMEM)
     win_rows: int = 32,
     n_segs: int = 256,
 ) -> tuple:
@@ -642,7 +648,10 @@ def banded_nn1_tpu(
     support_valid: jnp.ndarray,  # [S] bool
     query_valid: jnp.ndarray,    # [Q] bool
     q_tile: int = 8,
-    win_rows: int = 32,
+    win_rows: int = 16,          # one Morton-local nearest point needs far
+                                 # less window than the 34-NN kernel (16
+                                 # rows = +-2048 coarse ranks); halves the
+                                 # dominant [Qt, LW, NSg] field
     n_segs: int = 256,
 ) -> tuple:
     """Rank-banded exact-in-window 1-NN.  Returns (sqdist [Q], idx [Q]).

@@ -75,6 +75,7 @@ def gather_neighborhood(
     idx: jnp.ndarray, valid: jnp.ndarray, scale: float,
     pack: Optional[bool] = None,
     offsets: Optional[jnp.ndarray] = None,
+    eval_bf16: bool = False,
 ):
     """Gather neighbor features and scale-normalized centered offsets.
 
@@ -105,12 +106,17 @@ def gather_neighborhood(
     Ns = s_pts.shape[1]
     idx = jnp.where(valid, idx, Ns)
     if offsets is not None:
-        # neighbor offsets already emitted by the banded-kNN kernel
-        # (pre-masked to 0): only the features need a gather
+        # neighbor offsets already from the shared pyramid gather
+        # (pre-masked to 0): only the features need a gather.  At eval the
+        # conv consumes everything through single-pass bf16 matmuls
+        # (nn/vn.vnn_block_planes), so staging eqv/features bf16 HERE adds
+        # no new noise class and halves the [2M, 3] component-planes
+        # transposes the gather output otherwise pays in f32.
+        stage_t = jnp.bfloat16 if eval_bf16 else s_feat.dtype
         feat = jnp.concatenate(
-            [s_feat, jnp.zeros_like(s_feat[:, :8])], axis=1)
+            [s_feat, jnp.zeros_like(s_feat[:, :8])], axis=1).astype(stage_t)
         nbr_f = _bgather(feat, idx)
-        return nbr_f, offsets / scale
+        return nbr_f, (offsets / scale).astype(stage_t)
     if pack:
         nbr_xyz, nbr_f = gather_coord_feat_bf16(s_pts, s_feat, idx)
     else:
@@ -150,8 +156,9 @@ class VNNConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, q_pts, q_mask, s_pts, idx, valid, train=False,
                  offsets=None):
-        neighb_x, eqv = gather_neighborhood(s_pts, x, q_pts, idx, valid,
-                                            self.scale, offsets=offsets)
+        neighb_x, eqv = gather_neighborhood(
+            s_pts, x, q_pts, idx, valid, self.scale, offsets=offsets,
+            eval_bf16=not train and jax.default_backend() == "tpu")
         inp = _vnn_input(neighb_x, eqv, self.mode)
         bn_mask = jnp.broadcast_to(q_mask[:, :, None], idx.shape)
         return VNLinearLeakyReLUFlat(self.out_dim, reduce_k=True, name="conv")(
