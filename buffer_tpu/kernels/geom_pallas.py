@@ -503,8 +503,19 @@ def banded_knn_tpu(
                                  # over 2x the queries vs 8 (the window is
                                  # ~2x the tile's output volume; 32 measured
                                  # neutral and doubles VMEM)
-    win_rows: int = 32,
-    n_segs: int = 256,
+    win_rows: int = 64,          # 64 x 128 = 8192 ranks (+-4096): full
+                                 # original coverage; 48 (+-3072) saved a
+                                 # further 1 ms at one lost quality-gate
+                                 # pair (0.98 -> 0.96), 32 (+-2048) cost
+                                 # ~4% of mutual matches
+    n_segs: int = 128,           # half the candidates of the old 32x256:
+                                 # the [Q, 2*NSg] top-k sort outside
+                                 # halves, for a ~0.3% birthday-collision
+                                 # recall cost (34-NN over 128 interleaved
+                                 # segments, top-2 each).  Measured
+                                 # 82.4 -> 76.3 ms/pair, mutual 589 -> 599;
+                                 # 32x128 (+-2048) gave 75.3 ms but
+                                 # mutual 564
 ) -> tuple:
     """Rank-banded radius-kNN, Pallas edition.
 
@@ -587,7 +598,7 @@ def banded_knn_tpu(
     return jnp.maximum(d, 0.0), jnp.minimum(idx, S - 1), valid
 
 
-def banded_tpu_supported(S: int, win_rows: int = 32, n_segs: int = 256) -> bool:
+def banded_tpu_supported(S: int, win_rows: int = 64, n_segs: int = 128) -> bool:
     """True when :func:`banded_knn_tpu` can handle a support of S rows:
     padded rank fits the 16-bit packed index and the window fits the grid."""
     NR = -(-S // n_segs)
