@@ -288,7 +288,8 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, block_ref, Rt_ref, Wx_ref,
         pz = blk[:, 2:3]
         # NOTE (r2): one [S,3]@[3,A] HIGHEST dot for this field measured
         # SLOWER than these 6 VPU passes (tiny-K MXU dots issued per
-        # keypoint are latency-bound).
+        # keypoint are latency-bound); a bf16 ball-test field fails to
+        # compile (Mosaic "Invalid relayout" on the broadcast).
         d2 = ((px - ax) ** 2 + (py - ay) ** 2 + (pz - az) ** 2)   # [S, A]
         score = jnp.where(d2 <= r2, u, -BIG)        # [S, A]
 
