@@ -92,6 +92,17 @@ def radius_knn(
     (:func:`radius_knn_banded`); ignored when the window would not be
     smaller than the support.
     """
+    if band is not None and jax.default_backend() == "tpu" and query_valid is not None:
+        # Use the Pallas kernel even when the window covers the whole
+        # support (small pyramid levels): full coverage makes it an EXACT
+        # search, and its top-2-per-segment candidates + small sort beat
+        # the unbanded [Q, S] score field + 1024-candidate approx_max_k
+        # aggregate (~0.9 ms at the level-2 shape).
+        from buffer_tpu.kernels.geom_pallas import (
+            banded_knn_tpu, banded_tpu_supported)
+        if banded_tpu_supported(support.shape[0]):
+            return banded_knn_tpu(query, support, support_valid, query_valid,
+                                  k, radius, band=band)
     if band is not None and 2 * band < support.shape[0]:
         return radius_knn_banded(query, support, support_valid, k, radius,
                                  band, recall_target=recall_target,

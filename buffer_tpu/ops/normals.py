@@ -119,6 +119,71 @@ def normals_from_neighbors(
     return jnp.where(valid[:, None], n, 0.0)
 
 
+def smallest_eigvec_sym3_components(cxx, cyy, czz, cxy, cxz, cyz):
+    """:func:`smallest_eigvec_sym3` on the six unique components of a
+    symmetric matrix as separate arrays (any common shape [...]).
+
+    Component form keeps the whole eigensolve on [...]-shaped scalar
+    arrays — the [..., 3, 3] matrix form forces XLA through a chain of
+    tiny-minor-dim transposes/copies (~2 ms/pair at the level-0 normals
+    shape).  Same trigonometric (Cardano) eigenvalues; the eigenvector is
+    the largest row of M = (A - lam1 I)(A - lam2 I), which is symmetric
+    (a polynomial in A), so six products suffice.
+    """
+    dtype = cxx.dtype
+    q = (cxx + cyy + czz) / 3.0
+    p1 = cxy * cxy + cxz * cxz + cyz * cyz
+    d0 = cxx - q
+    d1 = cyy - q
+    d2 = czz - q
+    p2 = d0 * d0 + d1 * d1 + d2 * d2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, EPS))
+    inv_p = 1.0 / p
+    b00 = d0 * inv_p
+    b11 = d1 * inv_p
+    b22 = d2 * inv_p
+    b01 = cxy * inv_p
+    b02 = cxz * inv_p
+    b12 = cyz * inv_p
+    det = (b00 * (b11 * b22 - b12 * b12)
+           - b01 * (b01 * b22 - b12 * b02)
+           + b02 * (b01 * b12 - b11 * b02))
+    phi = jnp.arccos(jnp.clip(det / 2.0, -1.0, 1.0)) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)                       # largest
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    lam2 = 3.0 * q - lam1 - lam3
+
+    u00 = cxx - lam1
+    u11 = cyy - lam1
+    u22 = czz - lam1
+    v00 = cxx - lam2
+    v11 = cyy - lam2
+    v22 = czz - lam2
+    m00 = u00 * v00 + cxy * cxy + cxz * cxz
+    m01 = u00 * cxy + cxy * v11 + cxz * cyz
+    m02 = u00 * cxz + cxy * cyz + cxz * v22
+    m11 = cxy * cxy + u11 * v11 + cyz * cyz
+    m12 = cxy * cxz + u11 * cyz + cyz * v22
+    m22 = cxz * cxz + cyz * cyz + u22 * v22
+
+    n0 = m00 * m00 + m01 * m01 + m02 * m02
+    n1 = m01 * m01 + m11 * m11 + m12 * m12
+    n2 = m02 * m02 + m12 * m12 + m22 * m22
+    # tie-break matches argmax (first max wins)
+    use1 = (n1 > n0) & (n1 >= n2)
+    use2 = (n2 > n0) & (n2 > n1)
+    vx = jnp.where(use2, m02, jnp.where(use1, m01, m00))
+    vy = jnp.where(use2, m12, jnp.where(use1, m11, m01))
+    vz = jnp.where(use2, m22, jnp.where(use1, m12, m02))
+    nrm = jnp.sqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, EPS * EPS))
+    ok = nrm > 1e-10
+    inv = jnp.where(ok, 1.0 / nrm, 0.0)
+    vx = jnp.where(ok, vx * inv, 0.0)
+    vy = jnp.where(ok, vy * inv, 0.0)
+    vz = jnp.where(ok, vz * inv, jnp.ones_like(vz))   # degenerate -> +z
+    return vx.astype(dtype), vy.astype(dtype), vz.astype(dtype)
+
+
 def normals_from_offsets(
     points: jnp.ndarray,
     valid: jnp.ndarray,
@@ -129,22 +194,34 @@ def normals_from_offsets(
     """PCA normals from neighbor-minus-query offsets (no coordinate
     gather): covariance is translation-invariant, so centering the offsets
     on their own mean gives exactly :func:`normals_from_neighbors`'s
-    mean-centered covariance.  Offsets come from the banded kNN kernel's
-    VMEM window (ops/neighbors.radius_knn_offsets).
+    mean-centered covariance.  The covariance components and the
+    eigensolve stay as six scalar arrays end to end (no [..., 3, 3]
+    tensors, no einsum transposes).
 
     points [B, N, 3]; valid [B, N]; off [B, N, k, 3]; nvalid [B, N, k]."""
-    import jax
-    w = nvalid.astype(points.dtype)[..., None]
-    cnt = jnp.maximum(jnp.sum(w, axis=-2), 1.0)
-    mean = jnp.sum(off * w, axis=-2) / cnt
-    centered = (off - mean[..., None, :]) * w
-    cov = jnp.einsum("...ki,...kj->...ij", centered, centered,
-                     precision=jax.lax.Precision.HIGHEST)
-    n = smallest_eigvec_sym3(cov)
+    w = nvalid.astype(points.dtype)
+    cnt = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+    dx = off[..., 0] * w
+    dy = off[..., 1] * w
+    dz = off[..., 2] * w
+    mx = jnp.sum(dx, axis=-1) / cnt
+    my = jnp.sum(dy, axis=-1) / cnt
+    mz = jnp.sum(dz, axis=-1) / cnt
+    dx = (off[..., 0] - mx[..., None]) * w
+    dy = (off[..., 1] - my[..., None]) * w
+    dz = (off[..., 2] - mz[..., None]) * w
+    cxx = jnp.sum(dx * dx, axis=-1)
+    cyy = jnp.sum(dy * dy, axis=-1)
+    czz = jnp.sum(dz * dz, axis=-1)
+    cxy = jnp.sum(dx * dy, axis=-1)
+    cxz = jnp.sum(dx * dz, axis=-1)
+    cyz = jnp.sum(dy * dz, axis=-1)
+    vx, vy, vz = smallest_eigvec_sym3_components(cxx, cyy, czz, cxy, cxz, cyz)
     vp = jnp.zeros((3,), points.dtype) if viewpoint is None else viewpoint
-    flip = jnp.sum(n * (vp - points), axis=-1) < 0
-    n = jnp.where(flip[..., None], -n, n)
-    return jnp.where(valid[..., None], n, 0.0)
+    flip = (vx * (vp[0] - points[..., 0]) + vy * (vp[1] - points[..., 1])
+            + vz * (vp[2] - points[..., 2])) < 0
+    s = jnp.where(flip, -1.0, 1.0) * valid.astype(points.dtype)
+    return jnp.stack([vx * s, vy * s, vz * s], axis=-1)
 
 
 def cal_z_axis(

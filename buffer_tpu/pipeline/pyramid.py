@@ -69,6 +69,10 @@ def build_pyramid_and_normals(cfg: Config, points: jnp.ndarray,
         # ops per tile.  XLA's batched sort is the better tool there.
         from buffer_tpu.ops.neighbors import gather_rows
         idxc = jnp.minimum(idx, points.shape[1] - 1)
+        # offsets stay f32: a bf16 experiment (r2) saved 0.8 ms but the
+        # normals noise cost ~4% of mutual matches (593 -> 567) — the
+        # covariance eigenvector is the one offsets consumer that is NOT
+        # bf16-bound (the eqv path casts to bf16 later on its own)
         off = gather_rows(points, idxc) - points[:, :, None, :]
         normals = normals_from_offsets(points, masks,
                                        off[..., : st.normal_knn, :],

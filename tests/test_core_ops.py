@@ -253,9 +253,9 @@ class TestOffsetsPyramidPath:
                                       np.asarray(ref.neighbors[0]))
         np.testing.assert_array_equal(np.asarray(got.neighbor_valid[0]),
                                       np.asarray(ref.neighbor_valid[0]))
-        # unit normals; offset-mean centering reassociates the covariance
-        # sums, so near-degenerate neighborhoods may move an eigvector by
-        # O(1e-4) — compare by cosine
+        # unit normals; offset-mean centering + the component-form
+        # eigensolve reassociate the covariance sums, so near-degenerate
+        # neighborhoods may move an eigvector slightly — compare by cosine
         a, b = np.asarray(got.features), np.asarray(ref.features)
         cos = (a * b).sum(-1)
         assert (cos > 1 - 1e-5).all(), cos.min()
