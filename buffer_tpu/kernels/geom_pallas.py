@@ -661,10 +661,9 @@ def banded_nn1_tpu(
     query_valid: jnp.ndarray,    # [Q] bool
     q_tile: int = 8,
     win_rows: int = 16,          # one Morton-local nearest point needs far
-                                 # less window than the 34-NN kernel (16
-                                 # rows = +-2048 coarse ranks); halves the
-                                 # dominant [Qt, LW, NSg] field
-    n_segs: int = 256,
+                                 # less window than the 34-NN kernel
+                                 # (16 x 128 = +-1024 coarse ranks)
+    n_segs: int = 128,
 ) -> tuple:
     """Rank-banded exact-in-window 1-NN.  Returns (sqdist [Q], idx [Q]).
 
