@@ -116,7 +116,13 @@ class MatchConfig:
     iter_n: int = 50000
     # TPU-native knob: number of RANSAC hypotheses evaluated in one batched
     # round (all scored in parallel on the MXU rather than sequentially).
-    hypotheses: int = 4096
+    # RANSAC here runs on the voting stage's inlier set (high precision,
+    # like the reference feeding Open3D identity correspondences on the
+    # winner's inliers, models/BUFFER.py:314-324).  At 0.999 confidence an
+    # inlier ratio as low as 0.2 needs ~860 3-point draws; 1024 batched
+    # hypotheses cover that with margin (4096 measured ~0.7 ms slower,
+    # recall-identical on the 50-pair gate)
+    hypotheses: int = 1024
 
 
 @dataclass(frozen=True)
@@ -145,7 +151,11 @@ class StaticConfig:
     # matches kept after mutual matching (pad/truncate)
     max_matches: int = 1500
     # IRLS refinement rounds (reference: 20, models/BUFFER.py:396-398)
-    refine_iters: int = 20
+    # the reference's IRLS loop breaks when the inlier set stabilizes —
+    # typically after 2-5 rounds (models/BUFFER.py:382-418, 20 max); 10
+    # fixed rounds is still well past convergence and halves the
+    # (latency-bound) [1500]-scale scan on device
+    refine_iters: int = 10
     # kNN used for PCA normal estimation (Open3D estimate_normals default)
     normal_knn: int = 30
     # chunk size for tiled distance computations on device

@@ -127,6 +127,10 @@ def gather_neighborhood(
         nbr_xyz, nbr_f = g[..., :3], g[..., 3:]
     eqv = (nbr_xyz - q_pts[:, :, None, :]) / scale
     eqv = jnp.where(valid[..., None], eqv, 0.0)
+    if eval_bf16:
+        # eval-only: every consumer is a single-pass bf16 matmul (planes
+        # path), so staging bf16 here halves the mask/unpack traffic
+        return nbr_f.astype(jnp.bfloat16), eqv.astype(jnp.bfloat16)
     return nbr_f, eqv
 
 
@@ -176,7 +180,9 @@ class VNNResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, q_pts, q_mask, s_pts, idx, valid, train=False):
-        neighb_x, eqv = gather_neighborhood(s_pts, x, q_pts, idx, valid, self.scale)
+        neighb_x, eqv = gather_neighborhood(
+            s_pts, x, q_pts, idx, valid, self.scale,
+            eval_bf16=not train and jax.default_backend() == "tpu")
         inp = _vnn_input(neighb_x, eqv, "1")
         bn_mask = jnp.broadcast_to(q_mask[:, :, None], idx.shape)
         h = VNLinearLeakyReLUFlat(self.out_dim // 2, reduce_k=True, name="conv")(
@@ -247,10 +253,21 @@ class InvariantHead(nn.Module):
         h = masked_instance_norm(h, mask, axes=(0, 1))
         h = nn.Dense(self.dim, name="conv2")(h)
         h = masked_instance_norm(h, mask, axes=(0, 1))
-        h = nn.Dense(1, name="conv3")(h)
-        if self.activation == "sigmoid":
-            return nn.sigmoid(h)
-        return nn.softplus(h)
+        # the final 1-channel matvec as an einsum to [B, N]: a Dense(1)
+        # output is a [B, N, 1] single-LANE tensor and every elementwise op
+        # on it (activation, thresholds) pays the full 128-lane tile
+        # (~0.6 ms each at level-0 size).  Params stay under the exact
+        # nn.Dense tree (conv3/{kernel,bias}) for .pth conversion; the
+        # dummy call materializes them at init (same trick as CostNet)
+        dense3 = nn.Dense(1, name="conv3")
+        _ = dense3(jnp.zeros((1, h.shape[-1]), h.dtype))
+        k = self.variables["params"]["conv3"]["kernel"]
+        b = self.variables["params"]["conv3"]["bias"]
+        y = jnp.einsum("bnc,c->bn", h, k[:, 0]) + b[0]
+        y = nn.sigmoid(y) if self.activation == "sigmoid" else nn.softplus(y)
+        # consumers index [..., 0] right back; the expand/squeeze pair
+        # cancels inside the jit
+        return y[..., None]
 
 
 class _DecoderMixin:

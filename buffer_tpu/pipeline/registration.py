@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from buffer_tpu.config import Config
-from buffer_tpu.core.numerics import safe_normalize
 from buffer_tpu.models.composite import BufferModel
 from buffer_tpu.models import patch_embedder as pe
 from buffer_tpu.ops.sampling import farthest_point_sample
@@ -58,10 +57,19 @@ class RegistrationResult(NamedTuple):
 
 def orient_axes(axis: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Normalize and orient toward the origin-facing hemisphere
-    (models/BUFFER.py:244-249: flip where sum(-axis * p) < 0)."""
-    axis = safe_normalize(axis, axis=-1)
-    flip = jnp.sum(-axis * pts, axis=-1, keepdims=True) < 0
-    return jnp.where(flip, -axis, axis)
+    (models/BUFFER.py:244-249: flip where sum(-axis * p) < 0).
+
+    Component form: [B, N, 3] / [B, N, 1] tensors are 3-lane / 1-lane
+    tiles on TPU, so the chain computes on lane-full [B, N] component
+    arrays (measured neutral end-to-end — XLA had already fused most of
+    the padded passes — but it keeps the head post-processing out of the
+    padded-layout class)."""
+    ax, ay, az = axis[..., 0], axis[..., 1], axis[..., 2]
+    nrm = jnp.sqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-24))
+    s = jnp.where(
+        ax * pts[..., 0] + ay * pts[..., 1] + az * pts[..., 2] > 0,
+        -1.0, 1.0) / nrm
+    return jnp.stack([ax * s, ay * s, az * s], axis=-1)
 
 
 def describe_cloud(model: BufferModel, variables, cfg: Config, key,

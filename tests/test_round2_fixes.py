@@ -120,7 +120,10 @@ def test_banded_tpu_supported_bounds():
     assert banded_tpu_supported(40960)        # KITTI l0: needs 16 bits
     assert banded_tpu_supported(65536)
     assert not banded_tpu_supported(65537)    # exceeds 16-bit packed rank
-    assert not banded_tpu_supported(2048)     # window would not fit (NR=8)
+    # with 128 segments a 2048-point level grids to NR=16 rows: supported,
+    # and the window covers the whole level (exact search)
+    assert banded_tpu_supported(2048)
+    assert not banded_tpu_supported(1024)     # window would not fit (NR=8)
     # the old failure zone: support in (6144, 8192) must still be accepted
     # only if the (shrunken) window fits: NR=28 -> LW=16 ok
     assert banded_tpu_supported(7000)
