@@ -120,8 +120,7 @@ def main():
                 )(jogged, ks)
                 return c, (r.pose[0], r.num_mutual[0])
             _, (poses, nm) = jax.lax.scan(
-                body, 0, (jax.random.split(key, n * P).reshape(n, P, -1),
-                          jnp.arange(n)))
+                body, 0, (jax.random.split(key, (n, P)), jnp.arange(n)))
             return poses, nm
         return jax.jit(f)
 

@@ -162,9 +162,14 @@ class StaticConfig:
     knn_chunk: int = 4096
     # half-width of the rank window for banded neighbor search on
     # Morton-ordered clouds (data/preprocess.morton_sort); 0 disables.
-    # Ignored automatically when 2*band >= support size, so tiny test
-    # configs and unsorted inputs fall back to the full search.
-    knn_band: int = 3072
+    # Ignored automatically when 2*band >= support size (the search is
+    # then exact-full, via the Pallas kernel only when its window spans
+    # the whole grid), so tiny test configs and unsorted inputs fall back
+    # to the full search.  On the Pallas path the realized window is
+    # ceil(2*band/128) rows rounded up to 16 (kernels/geom_pallas.
+    # banded_win_rows); 4096 = the tuned 64x128 window (+-4096 ranks —
+    # 3072 saved ~1 ms but cost a quality-gate pair).
+    knn_band: int = 4096
     # inference descriptor front-end: gather-free fused SPT (True) vs the
     # reference-exact sampled SPT (False); training always uses sampled
     fused_desc: bool = True

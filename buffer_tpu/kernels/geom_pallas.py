@@ -499,7 +499,10 @@ def banded_knn_tpu(
     query_valid: jnp.ndarray,    # [Q] bool
     k: int,
     radius,                      # float or None
-    band: int = 3072,
+    band: int = 4096,            # informational only: the realized rank
+                                 # half-width is win_rows*n_segs/2; callers
+                                 # derive win_rows from their band via
+                                 # banded_win_rows()
     q_tile: int = 16,            # 16 amortizes the [LW, NSg] window loads
                                  # over 2x the queries vs 8 (the window is
                                  # ~2x the tile's output volume; 32 measured
@@ -604,6 +607,23 @@ def banded_tpu_supported(S: int, win_rows: int = 64, n_segs: int = 128) -> bool:
     padded rank fits the 16-bit packed index and the window fits the grid."""
     NR = -(-S // n_segs)
     return NR * n_segs <= (1 << 16) and (NR // 16) * 16 >= 16
+
+
+def banded_win_rows(S: int, band: int, n_segs: int = 128) -> tuple:
+    """Window rows realizing a +-``band`` rank half-width at support size S.
+
+    Returns ``(win_rows, covers_grid)``: ``win_rows`` is ``ceil(2*band /
+    n_segs)`` rounded up to the kernel's 16-row alignment (so the knob the
+    callers pass — ``config.StaticConfig.knn_band`` — actually sets the
+    Pallas window), and ``covers_grid`` is True when the kernel's effective
+    window ``LW = min(win_rows, (NR//16)*16)`` spans every grid row, i.e.
+    the banded search degenerates to an exact full search.
+    """
+    NR = -(-S // n_segs)
+    want = -(-2 * band // n_segs)
+    wr = _round_up(max(want, 16), 16)
+    LW = min(wr, (NR // 16) * 16)
+    return wr, LW >= NR
 
 
 # ---------------------------------------------------------------------------

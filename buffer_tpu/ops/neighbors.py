@@ -93,16 +93,24 @@ def radius_knn(
     smaller than the support.
     """
     if band is not None and jax.default_backend() == "tpu" and query_valid is not None:
-        # Use the Pallas kernel even when the window covers the whole
-        # support (small pyramid levels): full coverage makes it an EXACT
-        # search, and its top-2-per-segment candidates + small sort beat
-        # the unbanded [Q, S] score field + 1024-candidate approx_max_k
-        # aggregate (~0.9 ms at the level-2 shape).
+        # Use the Pallas kernel even when the band covers the whole
+        # support (small pyramid levels): full grid coverage makes it an
+        # EXACT search, and its top-2-per-segment candidates + small sort
+        # beat the unbanded [Q, S] score field + 1024-candidate
+        # approx_max_k aggregate (~0.9 ms at the level-2 shape).
         from buffer_tpu.kernels.geom_pallas import (
-            banded_knn_tpu, banded_tpu_supported)
-        if banded_tpu_supported(support.shape[0]):
-            return banded_knn_tpu(query, support, support_valid, query_valid,
-                                  k, radius, band=band)
+            banded_knn_tpu, banded_tpu_supported, banded_win_rows)
+        S = support.shape[0]
+        if banded_tpu_supported(S):
+            wr, covers = banded_win_rows(S, band)
+            # 2*band >= S promises a FULL search (config.py knn_band
+            # contract): only honor it on the Pallas path when its rank
+            # window actually spans the grid; otherwise fall through to
+            # the unbanded exact/approx search below.
+            if 2 * band < S or covers:
+                return banded_knn_tpu(query, support, support_valid,
+                                      query_valid, k, radius, band=band,
+                                      win_rows=wr)
     if band is not None and 2 * band < support.shape[0]:
         return radius_knn_banded(query, support, support_valid, k, radius,
                                  band, recall_target=recall_target,
@@ -230,13 +238,10 @@ def radius_knn_banded(
     center; measured on 3DMatch-scale surface clouds, a ±3072 window
     holds ~99% of the true radius-34-NN — the same noise class as the
     0.95-recall approx_max_k that consumes the scores, at ~5x less HBM
-    traffic than the full [Q, S] field."""
-    if jax.default_backend() == "tpu" and query_valid is not None:
-        from buffer_tpu.kernels.geom_pallas import (
-            banded_knn_tpu, banded_tpu_supported)
-        if banded_tpu_supported(support.shape[0]):
-            return banded_knn_tpu(query, support, support_valid, query_valid,
-                                  k, radius, band=band)
+    traffic than the full [Q, S] field.
+
+    (TPU dispatch to the Pallas kernel happens in :func:`radius_knn`;
+    this function is the XLA fallback.)"""
     Q = query.shape[0]
     S = support.shape[0]
     win = 2 * band

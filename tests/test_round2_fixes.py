@@ -125,7 +125,8 @@ def test_banded_tpu_supported_bounds():
     assert banded_tpu_supported(2048)
     assert not banded_tpu_supported(1024)     # window would not fit (NR=8)
     # the old failure zone: support in (6144, 8192) must still be accepted
-    # only if the (shrunken) window fits: NR=28 -> LW=16 ok
+    # only if the (shrunken) window fits: with n_segs=128, S=7000 grids to
+    # NR=55 rows -> LW=48 (window 6144 ranks < S, so approximate there)
     assert banded_tpu_supported(7000)
 
 
