@@ -59,10 +59,21 @@ def synthetic_pair(cfg, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="full", choices=["full", "small"])
+    ap.add_argument("--config", default="3DMatch",
+                    choices=["3DMatch", "KITTI"],
+                    help="static plan / weights / scene family to bench")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=None,
                     help="pairs registered per step (vmap); default: the "
                          "config's static.pair_batch")
+    # static-plan experiment knobs (perf tuning; defaults = the preset)
+    ap.add_argument("--caps", type=int, default=None,
+                    help="override neighbor/pool caps (all levels)")
+    ap.add_argument("--normal-knn", type=int, default=None)
+    ap.add_argument("--l1", type=int, default=None,
+                    help="override static.points_l1")
+    ap.add_argument("--l2", type=int, default=None,
+                    help="override static.points_l2")
     args = ap.parse_args()
 
     import jax
@@ -73,18 +84,41 @@ def main():
 
     enable_compilation_cache()
 
-    cfg = make_cfg("3DMatch") if args.size == "full" else tiny_cfg()
+    cfg = make_cfg(args.config) if args.size == "full" else tiny_cfg()
+    if any(v is not None for v in (args.caps, args.normal_knn, args.l1, args.l2)):
+        import dataclasses
+        st = cfg.static
+        kw = {}
+        if args.caps is not None:
+            kw["neighbor_caps"] = (args.caps,) * 3
+            kw["pool_caps"] = (args.caps,) * 2
+        if args.normal_knn is not None:
+            kw["normal_knn"] = args.normal_knn
+        if args.l1 is not None:
+            kw["points_l1"] = args.l1
+        if args.l2 is not None:
+            kw["points_l2"] = args.l2
+        cfg = cfg.replace(static=dataclasses.replace(st, **kw))
     model = BufferModel(cfg)
 
+    SNAPS = {"3DMatch": "/root/reference/ThreeDMatch/snapshot/06132318",
+             "KITTI": "/root/reference/KITTI/snapshot/06050001"}
     try:
         from buffer_tpu.compat.torch_convert import load_variables
-        SNAP = "/root/reference/ThreeDMatch/snapshot/06132318"
+        SNAP = SNAPS[args.config]
         variables = load_variables(
             {s: f"{SNAP}/{s}/best.pth" for s in ("Ref", "Desc", "Keypt", "Inlier")})
     except Exception:
         variables = model.init(jax.random.PRNGKey(0))
 
-    inputs, T_gt = synthetic_pair(cfg)
+    if args.config == "KITTI":
+        # full KITTI static plan (raw 131072 / l0 40960), LiDAR scene
+        # geometry, identity patch frames, pose_refine=False — the
+        # reference's KITTI/test.py:66-87 workload
+        from buffer_tpu.data.synthetic import make_lidar_pair
+        inputs, T_gt = make_lidar_pair(cfg, np.random.RandomState(13))
+    else:
+        inputs, T_gt = synthetic_pair(cfg)
 
     # The TPU here sits behind a tunnel whose per-dispatch overhead
     # (20-180 ms) dwarfs device time and whose block_until_ready does not
@@ -160,7 +194,9 @@ def main():
         (np.trace(pose[:3, :3].T @ T_gt[:3, :3]) - 1) / 2, -1, 1))))
 
     print(json.dumps({
-        "metric": "3dmatch_pairs_per_sec_single_chip",
+        "metric": ("kitti_pairs_per_sec_single_chip"
+                   if args.config == "KITTI"
+                   else "3dmatch_pairs_per_sec_single_chip"),
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
@@ -172,6 +208,7 @@ def main():
             "mutual_matches": int(res.num_mutual),
             "platform": jax.devices()[0].platform,
             "size": args.size,
+            "config": args.config,
             "pair_batch": P,
         },
     }))

@@ -137,17 +137,27 @@ class StaticConfig:
     coordinate — ``models/point_learner.py:328-349``).
     """
 
-    # per-cloud padded point counts for the 3-level conv pyramid
+    # per-cloud padded point counts for the 3-level conv pyramid.
+    # l1/l2 sized from measured subsample ratios on 30k-point clouds
+    # (l1 <= ~9.5k, l2 <= ~2.6k at 3DMatch density) — r2's 12288/4096 plan
+    # carried ~60% padding waste through every per-level op
     points_l0: int = 30720
-    points_l1: int = 12288
-    points_l2: int = 4096
+    points_l1: int = 10240
+    points_l2: int = 3072
     # padded size of the raw (first-downsample) cloud used for patch queries
     raw_points: int = 65536
-    # neighbor-list caps per level (reference derives these by calibration,
-    # ThreeDMatch/dataloader.py:18-51; conv_radius=2.0 implies a geometric
-    # bound of ceil(4/3*pi*2^3) = 34)
-    neighbor_caps: Tuple[int, int, int] = (34, 34, 34)
-    pool_caps: Tuple[int, int] = (34, 34)
+    # neighbor-list caps per level.  The reference derives these by
+    # 80th-percentile calibration at loader construction
+    # (ThreeDMatch/dataloader.py:18-51): on 2D-manifold point clouds at
+    # conv_radius=2.0 that percentile is ~16 (measured, scripts/calibrate.py
+    # math on gate scenes; max observed ~21) — NOT the volumetric geometric
+    # bound 34 that r2 shipped.  20 covers the ~99th percentile; besides the
+    # ~40% cut in every per-neighbor cost it also matches the reference's
+    # shadow-counting mean denominator (~its calibrated width) far better
+    # than 34 did — bench mutual matches went UP 589 -> 690 and sanity
+    # RTE/RRE improved when this landed (BENCH history r3).
+    neighbor_caps: Tuple[int, int, int] = (20, 20, 20)
+    pool_caps: Tuple[int, int] = (20, 20)
     # matches kept after mutual matching (pad/truncate)
     max_matches: int = 1500
     # IRLS refinement rounds (reference: 20, models/BUFFER.py:396-398)
@@ -156,8 +166,10 @@ class StaticConfig:
     # fixed rounds is still well past convergence and halves the
     # (latency-bound) [1500]-scale scan on device
     refine_iters: int = 10
-    # kNN used for PCA normal estimation (Open3D estimate_normals default)
-    normal_knn: int = 30
+    # kNN used for PCA normal estimation (Open3D's default is 30; 20 keeps
+    # the shared level-0 kNN pass at the conv cap width — sanity RTE/RRE
+    # and the quality gate held when this landed)
+    normal_knn: int = 20
     # chunk size for tiled distance computations on device
     knn_chunk: int = 4096
     # half-width of the rank window for banded neighbor search on
@@ -227,7 +239,10 @@ def kitti_cfg() -> Config:
         patch=PatchConfig(des_r=3.0),
         match=MatchConfig(dist_th=0.30, inlier_th=2.0, similar_th=0.9,
                           confidence=1.0),
-        static=StaticConfig(points_l0=40960, points_l1=16384, points_l2=6144,
+        # points_l1 20480 (not l0/2.5): 40k LiDAR sds points at the 0.6 m
+        # level-1 cell measure ~17-19k survivors on synthetic street
+        # scenes — 16384 silently truncated level 1
+        static=StaticConfig(points_l0=40960, points_l1=20480, points_l2=6144,
                             raw_points=131072),
     )
 
@@ -318,6 +333,22 @@ def shrink_static(cfg: Config) -> Config:
         point=replace(cfg.point, num_keypts=t.point.num_keypts),
         match=replace(cfg.match, hypotheses=t.match.hypotheses),
         train=replace(cfg.train, pos_num=t.train.pos_num),
+    )
+
+
+def small_cfg() -> Config:
+    """A mid-size static plan for the train-from-scratch quality gate:
+    big enough that des_r=0.3 patches are genuinely local (scene extent
+    ~0.9 m at 2 cm density -> ~4k sds points), small enough that hundreds
+    of train steps run in minutes."""
+    c = threedmatch_cfg()
+    return c.replace(
+        point=replace(c.point, num_keypts=384),
+        static=StaticConfig(points_l0=4096, points_l1=2048, points_l2=512,
+                            raw_points=16384, max_matches=384,
+                            knn_chunk=2048),
+        match=replace(c.match, hypotheses=512),
+        train=replace(c.train, pos_num=256),
     )
 
 

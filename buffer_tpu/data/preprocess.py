@@ -96,15 +96,18 @@ def prepare_pair(
     # overflows the static plan — pad_cloud random-subsamples the excess,
     # which is a quality cliff the operator should know about (e.g. KITTI
     # scans at downsample=0.05 can exceed raw_points)
-    for name, arr, cap in (("raw_points", s_fds, st.raw_points),
-                           ("raw_points", t_fds, st.raw_points),
-                           ("points_l0", s_sds, st.points_l0),
-                           ("points_l0", t_sds, st.points_l0)):
+    def check_cap(name, arr, cap):
         if len(arr) > cap:
             warnings.warn(
                 f"cloud with {len(arr)} points exceeds static plan "
                 f"{name}={cap}; randomly subsampling (consider a larger "
                 "static bucket)", RuntimeWarning)
+
+    for name, arr, cap in (("raw_points", s_fds, st.raw_points),
+                           ("raw_points", t_fds, st.raw_points),
+                           ("points_l0", s_sds, st.points_l0),
+                           ("points_l0", t_sds, st.points_l0)):
+        check_cap(name, arr, cap)
     # Morton-order the point-learner clouds so the on-device neighbor
     # search can run rank-banded (raw clouds stay shuffled: the ball
     # sampler's segment statistics rely on random order)
@@ -120,6 +123,8 @@ def prepare_pair(
     def levels(sds):
         l1 = morton_sort(voxel_subsample_host(sds, 2 * cfg.data.voxel_size_0))
         l2 = morton_sort(voxel_subsample_host(l1, 4 * cfg.data.voxel_size_0))
+        check_cap("points_l1", l1, st.points_l1)
+        check_cap("points_l2", l2, st.points_l2)
         return l1, l2
     sl1, sl2 = levels(s_sds)
     tl1, tl2 = levels(t_sds)

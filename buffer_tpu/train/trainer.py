@@ -133,11 +133,25 @@ def make_dp_train_step(model: BufferModel, tx, stage: str, mesh: Mesh,
 
         (loss, (stats, upd)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(variables[stage]["params"])
+
+        # non-finite gradient guard, same semantics as the single-device
+        # step (reference ThreeDMatch/trainer.py:203-209): the mean-reduced
+        # grads are already replicated post-all-reduce, so one bad shard
+        # makes the WHOLE step skip on every replica coherently — matching
+        # the reference's "skip the step" rather than silently applying a
+        # poisoned update.
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]))
         updates, new_opt = tx.update(grads, opt_state,
                                      variables[stage]["params"])
         new_params = optax.apply_updates(variables[stage]["params"], updates)
+        pick = lambda a, b: jnp.where(finite, a, b)
+        new_params = jax.tree_util.tree_map(pick, new_params,
+                                            variables[stage]["params"])
+        new_opt = jax.tree_util.tree_map(pick, new_opt, opt_state)
         new_vars = {s: {"params": new_params if s == stage else variables[s]["params"],
                         "batch_stats": upd[s]} for s in variables}
+        stats = dict(stats, grad_finite=finite.astype(jnp.float32))
         return new_vars, new_opt, loss, stats
 
     in_shardings = (repl, repl,

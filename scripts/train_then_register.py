@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Train all four stages FROM SCRATCH on synthetic room scenes, then
+register held-out pairs with the trained weights.
+
+This closes the loop that loss-drop tests cannot: it proves the trainer,
+the stage losses, the freeze-and-merge stage sequencing and the batch-stat
+plumbing together produce a model that actually registers (the reference's
+whole point, ThreeDMatch/train.py:98-108).  Chance recall on these scenes
+is ~0 (random SO(3) pose over a +-0.5 m translation range vs the
+0.3 m / 15 deg DGR thresholds).
+
+Runs on the ``small_cfg`` static plan (~4k sds points, 384 keypoints) so
+hundreds of steps fit in minutes on one chip; scenes are scaled to keep
+2 cm surface density so des_r=0.3 patches stay genuinely local.
+
+Usage: python scripts/train_then_register.py [--train-pairs N] [--epochs E]
+       [--eval-pairs N] [--json PATH] [--assert-recall R]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-pairs", type=int, default=48)
+    ap.add_argument("--eval-pairs", type=int, default=24)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--out", default="/tmp/train_then_register")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--assert-recall", type=float, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+    from buffer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from buffer_tpu.config import small_cfg
+    from buffer_tpu.data.synthetic import make_room_pair
+    from buffer_tpu.models.composite import BufferModel
+    from buffer_tpu.pipeline.registration import make_register_fn
+    from buffer_tpu.train.trainer import Trainer, TrainBatch
+    from buffer_tpu.eval.metrics import rte_rre
+
+    cfg = small_cfg()
+    cfg = cfg.replace(train=replace(cfg.train, epoch=args.epochs))
+    model = BufferModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+
+    def scene(rs):
+        overlap = rs.uniform(0.55, 0.9)
+        noise = rs.uniform(0.0, 0.006)
+        clutter = rs.uniform(0.0, 0.06)
+        return make_room_pair(cfg, rs, overlap, noise, clutter,
+                              n=20000, ext=0.9)
+
+    print("generating scenes...", flush=True)
+    rs = np.random.RandomState(3)
+    train_batches = []
+    for _ in range(args.train_pairs):
+        inputs, T = scene(rs)
+        train_batches.append(TrainBatch(inputs=inputs,
+                                        relt_pose=jnp.asarray(T)))
+    val_batches = train_batches[: max(2, args.train_pairs // 8)]
+    rs_eval = np.random.RandomState(31)
+    eval_pairs = [scene(rs_eval) for _ in range(args.eval_pairs)]
+
+    # stage-sequential training, frozen-other-stages semantics live in the
+    # optimizer (train/trainer.py); variables carry over between stages
+    # exactly like the reference's load-best-and-freeze merge
+    # (ThreeDMatch/train.py:31-47)
+    t0 = time.time()
+    for stage in cfg.train.all_stage:
+        st0 = time.time()
+        trainer = Trainer(cfg.with_stage(stage), model, variables, stage,
+                          f"{args.out}/snap")
+        rs_ep = np.random.RandomState(17)
+
+        def train_iter(epoch, _rs=rs_ep):
+            order = _rs.permutation(len(train_batches))
+            return iter([train_batches[i] for i in order])
+
+        variables = trainer.fit(train_iter, lambda e: iter(val_batches),
+                                rng_seed=7)
+        print(f"stage {stage}: {args.epochs} epochs x "
+              f"{len(train_batches)} pairs in {time.time() - st0:.0f}s, "
+              f"best {trainer.best:.4f}", flush=True)
+
+    # register held-out pairs with the TRAINED weights
+    fn = make_register_fn(model)
+    states = []
+    for i, (inputs, T) in enumerate(eval_pairs):
+        res = fn(variables, inputs, jax.random.PRNGKey(1000 + i))
+        rte, rre = rte_rre(np.asarray(res.pose, np.float64),
+                           np.asarray(T, np.float64))
+        ok = rte < 0.3 and rre < 15.0
+        states.append(ok)
+        print(f"eval pair {i:2d} mutual={int(res.num_mutual):4d} "
+              f"RTE={rte:.4f} RRE={rre:.3f} {'OK' if ok else 'FAIL'}",
+              flush=True)
+    recall = float(np.mean(states))
+    print(f"\ntrained-from-scratch recall: {recall:.3f} over "
+          f"{len(states)} pairs ({time.time() - t0:.0f}s total)")
+
+    if args.json:
+        rec = {"metric": "trained_from_scratch_recall",
+               "value": round(recall, 4), "unit": "recall@0.3m/15deg",
+               "pairs": len(states), "train_pairs": args.train_pairs,
+               "epochs": args.epochs}
+        with open(args.json, "w") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec))
+    if args.assert_recall is not None and recall < args.assert_recall:
+        print(f"FAIL: recall {recall:.3f} < {args.assert_recall}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
