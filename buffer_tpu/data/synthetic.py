@@ -291,13 +291,17 @@ def make_lidar_pair(cfg, rs, dist=10.0, noise=0.01, yaw=None):
     Rt = (np.array([[1, 0, 0], [0, cx_, -sx_], [0, sx_, cx_]], np.float32)
           @ np.array([[cyt, 0, syt], [0, 1, 0], [-syt, 0, cyt]], np.float32))
     R = (Rz @ Rt).astype(np.float32)
-    # tgt view is already expressed relative to o1; the residual mapping
-    # from the src frame is x -> R @ (x - (o1 - o0))
+    # tgt_raw is already expressed in the o1 sensor frame (origin
+    # subtracted inside _lidar_view), so synthesizing the tgt cloud only
+    # applies the rotation: tgt = R @ (q_w - o1).  The src->tgt map is then
+    # x -> R @ (x - (o1 - o0)): R(p_w - o0) - R d = R(p_w - o1) = tgt.
+    # (Applying the full map to tgt_raw here too would double the
+    # translation — the r3 sanity failure: recovered pose_t == 2*gt_t.)
     d = o1 - o0
     t = (-R @ d).astype(np.float32)
     T = np.eye(4, dtype=np.float32)
     T[:3, :3], T[:3, 3] = R, t
-    tgt = (tgt_raw @ R.T + t).astype(np.float32)
+    tgt = (tgt_raw @ R.T).astype(np.float32)
 
     inputs = prepare_pair(cfg, src, tgt, rs=rs, already_downsampled=False)
     return inputs, T
