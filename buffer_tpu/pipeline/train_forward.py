@@ -117,7 +117,14 @@ def stage_loss(
     train: bool = True,
     det_margin: float = 1.05,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, dict]]:
-    with jax.default_matmul_precision("highest"):
+    # HIGH (bf16_3x, ~2e-7 relative) not HIGHEST (bf16_6x): the VN gating
+    # math that motivated raising precision is fp32-grade already at HIGH
+    # (see the PRECISION note in nn/vn.py), and the backward pass runs at
+    # the same default — 6-pass buys nothing measurable in gradient quality
+    # while costing ~2x on every unannotated matmul.  On CPU (the test
+    # platform) matmul precision is a no-op, so torch-oracle parity is
+    # unaffected.
+    with jax.default_matmul_precision("high"):
         return _stage_loss(model, variables, stage, inputs, relt_pose, key,
                            train, det_margin)
 

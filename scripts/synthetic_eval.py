@@ -79,6 +79,11 @@ def main():
     ap.add_argument("--assert-low-recall", type=float, default=None,
                     help="exit nonzero unless the low-overlap bucket "
                          "recall >= this")
+    ap.add_argument("--refine-iters", type=int, default=None,
+                    help="override StaticConfig.refine_iters (IRLS rounds) "
+                         "for budget re-validation on the hard buckets")
+    ap.add_argument("--hypotheses", type=int, default=None,
+                    help="override MatchConfig.hypotheses (batched RANSAC)")
     args = ap.parse_args()
 
     import jax  # noqa: F401
@@ -90,6 +95,13 @@ def main():
     from buffer_tpu.pipeline.registration import make_register_fn
 
     cfg = make_cfg(args.config)
+    if args.refine_iters is not None or args.hypotheses is not None:
+        from dataclasses import replace
+        static = cfg.static if args.refine_iters is None else replace(
+            cfg.static, refine_iters=args.refine_iters)
+        match = cfg.match if args.hypotheses is None else replace(
+            cfg.match, hypotheses=args.hypotheses)
+        cfg = replace(cfg, static=static, match=match)
     model = BufferModel(cfg)
     snap = SNAPS[args.config]
     variables = load_variables(
