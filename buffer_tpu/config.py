@@ -185,12 +185,14 @@ class StaticConfig:
     # inference descriptor front-end: gather-free fused SPT (True) vs the
     # reference-exact sampled SPT (False); training always uses sampled
     fused_desc: bool = True
-    # pairs registered per jitted step (vmap over the pair axis).  1 is the
-    # measured optimum on one chip: vmap's leading batch dim re-layouts the
-    # Pallas kernels and every gather, costing far more than it amortizes
-    # (r3 bench: 50.3 ms/pair at P=1, 85.2 at P=2, 98.3 at P=4).  Multi-pair
-    # throughput scales across chips via DP (eval/harness.make_dp_register)
-    # instead.
+    # pairs registered per jitted step (vmap over the pair axis).  A BENCH
+    # EXPERIMENT KNOB ONLY: bench.py reads it to vmap its measurement loop;
+    # make_register_fn and the eval harness always register one pair per
+    # step.  1 is the measured optimum on one chip: vmap's leading batch dim
+    # re-layouts the Pallas kernels and every gather, costing far more than
+    # it amortizes (r3 bench: 50.3 ms/pair at P=1, 85.2 at P=2, 98.3 at
+    # P=4).  Multi-pair throughput scales across chips via DP
+    # (eval/harness.make_dp_register) instead.
     pair_batch: int = 1
 
 

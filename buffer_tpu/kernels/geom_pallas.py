@@ -163,6 +163,63 @@ def ball_sample_points_tpu(
     return pts, valid
 
 
+@functools.partial(jax.jit, static_argnames=("radius", "k", "q_tile"))
+def ball_sample_planes_tpu(
+    key: jax.Array,
+    query: jnp.ndarray,          # [Q, 3]
+    support: jnp.ndarray,        # [N, 3]
+    support_valid: jnp.ndarray,  # [N] bool
+    radius: float,
+    k: int,
+    q_tile: int = 8,
+) -> tuple:
+    """:func:`ball_sample_points_tpu` returning COMPONENT PLANES
+    ``(x [Q,k], y [Q,k], z [Q,k], valid [Q,k])`` instead of a stacked
+    [Q, k, 3] array.  The stacked form's 3-lane minor dim forces a
+    pathological layout copy into every downstream consumer (measured
+    1.1 ms at the 3000x512 descriptor front); the planes ride as clean
+    [Q, k] tiles straight into :func:`spt_pooled_tpu`."""
+    Q, _ = query.shape
+    N = support.shape[0]
+    NS = k // 2
+    assert k % 2 == 0 and N % NS == 0, (k, N)
+    L = N // NS
+
+    prio = jax.random.uniform(key, (N,), dtype=jnp.float32)
+    u = jnp.where(support_valid, prio, -BIG)
+    sgrid = support.T.reshape(3, NS, L).transpose(0, 2, 1)       # [3, L, NS]
+    ugrid = u.reshape(1, NS, L).transpose(0, 2, 1)               # [1, L, NS]
+
+    Qp = _round_up(Q, q_tile)
+    qpad = jnp.pad(query, ((0, Qp - Q), (0, 0)))
+
+    out_sd = jax.ShapeDtypeStruct((Qp, NS), jnp.float32)
+    out_sdb = jax.ShapeDtypeStruct((Qp, NS), jnp.bool_)
+    out_spec = pl.BlockSpec((q_tile, NS), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    x1, y1, z1, v1, x2, y2, z2, v2 = pl.pallas_call(
+        functools.partial(_ball_kernel, L, NS, float(radius) ** 2),
+        grid=(Qp // q_tile,),
+        in_specs=[
+            pl.BlockSpec((q_tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, L, NS), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, NS), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec,) * 8,
+        out_shape=(out_sd, out_sd, out_sd, out_sdb,
+                   out_sd, out_sd, out_sd, out_sdb),
+    )(qpad, sgrid, ugrid)
+    x = jnp.concatenate([x1[:Q], x2[:Q]], axis=1)                # [Q, k]
+    y = jnp.concatenate([y1[:Q], y2[:Q]], axis=1)
+    z = jnp.concatenate([z1[:Q], z2[:Q]], axis=1)
+    valid = jnp.concatenate([v1[:Q], v2[:Q]], axis=1)
+    return x, y, z, valid
+
+
 # ---------------------------------------------------------------------------
 # exact 1-NN (argmin of the full distance field, tiled in VMEM)
 # ---------------------------------------------------------------------------
@@ -234,8 +291,9 @@ def nearest_tpu(
 # ---------------------------------------------------------------------------
 
 
-def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, block_ref, Rt_ref, Wx_ref,
-                Wy_ref, Wz_ref, b_ref, f0_ref, u_ref, anc_ref, out_ref):
+def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, bx_ref, by_ref, bz_ref, Rt_ref,
+                Wx_ref, Wy_ref, Wz_ref, b_ref, f0_ref, u_ref, anc_ref,
+                out_ref):
     """Kt keypoints per grid step; stratified sampled-SPT semantics.
 
     For each cylindrical anchor, take the top-random-priority in-ball point
@@ -245,7 +303,11 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, block_ref, Rt_ref, Wx_ref,
     derotated point-MLP on just those samples, and max-pool; empty slots
     contribute f0 exactly like the reference's zero-filled slots.
 
-    block_ref [Kt, S, 3]   patch coords, UNROTATED (centered, /des_r)
+    bx/by/bz  [Kt, S]      patch coordinate PLANES, UNROTATED (centered,
+                           /des_r); one [Kt, S] -> [S, Kt] transpose per
+                           component per grid step yields native [S, 1]
+                           column tiles (the old [Kt, S, 3] block carried a
+                           3-lane minor dim the compiler padded 42x)
     Rt_ref    [Kt, 3, 3]   transposed per-patch alignment rotation: the
                            reference rotates every patch point (delta @ R,
                            patch_embedder.py:130-142) — a [K,S,3]@[K,3,3]
@@ -269,9 +331,16 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, block_ref, Rt_ref, Wx_ref,
     Wy0 = Wy_ref[...]
     Wz0 = Wz_ref[...]
     anc = anc_ref[...]                              # [A, 3]
+    # one [Kt, S] -> [S, Kt] transpose per component per grid step; each
+    # keypoint's coordinates are then a STATIC [S, 1] column slice
+    bxT = jnp.transpose(bx_ref[...])                # [S, Kt]
+    byT = jnp.transpose(by_ref[...])
+    bzT = jnp.transpose(bz_ref[...])
 
     for kt in range(Kt):
-        blk = block_ref[kt]                         # [S, 3] unrotated
+        px = bxT[:, kt:kt + 1]                      # [S, 1] unrotated
+        py = byT[:, kt:kt + 1]
+        pz = bzT[:, kt:kt + 1]
         Rt = Rt_ref[kt]                             # [3, 3] = R^T
         anc_r = jnp.dot(anc, Rt,
                         preferred_element_type=jnp.float32,
@@ -283,9 +352,6 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, block_ref, Rt_ref, Wx_ref,
         ax = anc_r[:, 0][None, :]                   # [1, A]
         ay = anc_r[:, 1][None, :]
         az = anc_r[:, 2][None, :]
-        px = blk[:, 0:1]                            # [S, 1]
-        py = blk[:, 1:2]
-        pz = blk[:, 2:3]
         # NOTE (r2): one [S,3]@[3,A] HIGHEST dot for this field measured
         # SLOWER than these 6 VPU passes (tiny-K MXU dots issued per
         # keypoint are latency-bound); a bf16 ball-test field fails to
@@ -324,10 +390,12 @@ def spt_pooled_tpu(
     b_eff: jnp.ndarray,          # [16]
     f0: jnp.ndarray,             # [16]
     u: jnp.ndarray,              # [S] shared uniforms
-    delta_x: jnp.ndarray,        # [K, S, 3] UNROTATED patch coords
+    delta_x: jnp.ndarray,        # [K, S, 3] UNROTATED patch coords, or None
+                                 # when delta_planes is given
     rad_n: int, azi_n: int, ele_n: int,
     voxel_r: float, voxel_sample: int,
     R: jnp.ndarray = None,       # [K, 3, 3] per-patch alignment (None = I)
+    delta_planes: tuple = None,  # (x, y, z) [K, S] planes alternative
 ) -> jnp.ndarray:
     """Fused sampled-SPT + point-MLP + sample-max descriptor front in one
     VMEM-resident kernel per keypoint block.  Per anchor, <= voxel_sample
@@ -337,7 +405,12 @@ def spt_pooled_tpu(
     reference sphere_query path.  Returns [K, rad_n, ele_n, azi_n, 16]."""
     from buffer_tpu.core import gridmath
 
-    K, S, _ = delta_x.shape
+    if delta_planes is not None:
+        xP, yP, zP = delta_planes                    # [K, S] each
+        K, S = xP.shape
+    else:
+        K, S, _ = delta_x.shape
+        xP, yP, zP = (delta_x[..., 0], delta_x[..., 1], delta_x[..., 2])
     AZ = azi_n
     G = rad_n * ele_n
     A = AZ * G
@@ -357,36 +430,34 @@ def spt_pooled_tpu(
     Wy = Wrows[:, 1, :].T
     Wz = Wrows[:, 2, :].T
 
-    Kt = 4
+    Kt = 8                       # sublane-aligned keypoint block
     Kp = _round_up(K, Kt)
-    blocks = delta_x
     Rt = (jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3))
           if R is None else jnp.swapaxes(R, 1, 2))
     if Kp != K:
-        blocks = jnp.pad(blocks, ((0, Kp - K), (0, 0), (0, 0)))
+        pad2 = ((0, Kp - K), (0, 0))
+        xP, yP, zP = (jnp.pad(p, pad2) for p in (xP, yP, zP))
         Rt = jnp.pad(Rt, ((0, Kp - K), (0, 0), (0, 0)))
 
+    spec_p = pl.BlockSpec((Kt, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_c = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_spt_kernel, S, A, NSEG, NUSE, Kt,
                           float(voxel_r) ** 2),
         grid=(Kp // Kt,),
         in_specs=[
-            pl.BlockSpec((Kt, S, 3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            spec_p, spec_p, spec_p,
             pl.BlockSpec((Kt, 3, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            spec_c((16, A)), spec_c((16, A)), spec_c((16, A)),
+            spec_c((16, 1)), spec_c((16, 1)), spec_c((S, 1)),
+            spec_c((A, 3)),
         ],
         out_specs=pl.BlockSpec((Kt, 16, A), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Kp, 16, A), jnp.float32),
-    )(blocks, Rt, Wx, Wy, Wz, b_eff[:, None], f0[:, None], u[:, None],
+    )(xP, yP, zP, Rt, Wx, Wy, Wz, b_eff[:, None], f0[:, None], u[:, None],
       anc_azi_major)
 
     # [K, 16, A(=AZ*G)] -> [K, G, AZ, 16] -> [K, rad, ele, azi, 16]
@@ -452,42 +523,54 @@ def _bknn_kernel(LW, NSg, Qt, NR, r2, q_ref, ratio_ref, tid_ref, gx_ref,
     dz = qz - sz[None]
     d2 = dx * dx + dy * dy + dz * dz                 # [Qt, LW, NSg]
     d2 = d2 + (1.0 - sv)[None] * BIG                 # invalid -> huge
+    # floor at a tiny NORMAL float: an exact-zero d2 (self-match) would
+    # pack to a denormal whose row bits FTZ/DAZ silently flush to +0
+    # (measured: 94% of rows lost their second candidate to this)
+    d2 = jnp.maximum(d2, 1e-30)
 
-    rowi = lax.broadcasted_iota(jnp.int32, (Qt, LW, NSg), 1).astype(jnp.float32)
+    # Pack the WINDOW ROW into the distance's low mantissa bits before the
+    # min: one sublane min then yields winner distance AND row together.
+    # (The int32 view of a non-negative f32 is order-preserving; the
+    # previous one-hot mean extraction — min, ==, sum, weighted-row sum,
+    # divide, twice — cost ~6 extra VPU passes over the [Qt, LW, NSg]
+    # field.  Row bits land in the same low-16 region the global support
+    # rank overwrites below, so no extra precision is lost; ties now break
+    # toward the smaller window row instead of a fractional mean row.)
+    rowi = lax.broadcasted_iota(jnp.int32, (Qt, LW, NSg), 1)
+    ROWB = 0x3F                                      # LW <= 64 rows
+    d2p = pltpu.bitcast(
+        (pltpu.bitcast(d2, jnp.int32) & ~ROWB) | rowi, jnp.float32)
 
-    def rank(d):
-        m = jnp.min(d, axis=1)                       # [Qt, NSg]
-        oh = (d == m[:, None, :]).astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(oh, axis=1), 1.0)
-        r = jnp.sum(oh * rowi, axis=1) / cnt         # window row of winner
-        return m, oh, r
-
-    m1, oh1, r1 = rank(d2)
-    d2b = d2 + oh1 * (2.0 * BIG)
-    m2, _, r2_ = rank(d2b)
+    m1p = jnp.min(d2p, axis=1)                       # [Qt, NSg]
+    m1i = pltpu.bitcast(m1p, jnp.int32)
+    r1 = m1i & ROWB
+    # knock the winner's row out, take the second-nearest
+    d2b = jnp.where(rowi == r1[:, None, :], BIG, d2p)
+    m2p = jnp.min(d2b, axis=1)
+    m2i = pltpu.bitcast(m2p, jnp.int32)
+    r2_ = m2i & ROWB
 
     col = lax.broadcasted_iota(jnp.int32, (Qt, NSg), 1)
     base = r0 * NSg + col
-    i1 = base + r1.astype(jnp.int32) * NSg
-    i2 = base + r2_.astype(jnp.int32) * NSg
 
     # Pack the support index into the low 16 mantissa bits of the fp32
-    # squared distance: the int32 view of a non-negative float is order-
-    # preserving, so one approx_max_k over the packed keys OUTSIDE the
+    # squared distance: one approx_max_k over the packed keys OUTSIDE the
     # kernel selects the k nearest AND carries their indices — no top_k
     # sort, no take_along_axis row gather (those cost ~80 ms/pair).
     # 16 bits covers padded support ranks up to 65535 (KITTI points_l0 =
     # 40960 needs > 15 bits; banded_knn_tpu asserts Sp <= 1<<16).
     # Distances lose 16 mantissa bits (<0.8% relative): threshold-only
     # consumers.
-    def pack(m, idx):
+    def pack(mi, r):
+        idx = base + r * NSg
+        m = pltpu.bitcast(mi & ~0xFFFF, jnp.float32)
         if r2 is not None:
             m = jnp.where(m <= r2, m, BIG)
-        mi = pltpu.bitcast(m, jnp.int32)
-        return pltpu.bitcast((mi & ~0xFFFF) | idx, jnp.float32)
+        return pltpu.bitcast(
+            (pltpu.bitcast(m, jnp.int32) & ~0xFFFF) | idx, jnp.float32)
 
-    k1_ref[...] = pack(m1, i1)
-    k2_ref[...] = pack(m2, i2)
+    k1_ref[...] = pack(m1i, r1)
+    k2_ref[...] = pack(m2i, r2_)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "radius", "band", "q_tile",
@@ -660,17 +743,21 @@ def _bnn1_kernel(LW, NSg, Qt, NR, q_ref, ratio_ref, tid_ref, gx_ref,
     dz = qt[:, 2][:, None, None] - sz[None]
     d2 = dx * dx + dy * dy + dz * dz                 # [Qt, LW, NSg]
     d2 = d2 + (1.0 - sv)[None] * BIG
+    # tiny-normal floor: see _bknn_kernel (denormal row bits flush to 0)
+    d2 = jnp.maximum(d2, 1e-30)
 
-    rowi = lax.broadcasted_iota(jnp.int32, (Qt, LW, NSg), 1).astype(jnp.float32)
-    m1 = jnp.min(d2, axis=1)                         # [Qt, NSg]
-    oh = (d2 == m1[:, None, :]).astype(jnp.float32)
-    cnt = jnp.maximum(jnp.sum(oh, axis=1), 1.0)
-    r1 = jnp.sum(oh * rowi, axis=1) / cnt            # window row of winner
+    # row packed into the low mantissa bits; one min extracts both (the
+    # one-hot mean extraction this replaces cost ~4 extra VPU passes)
+    rowi = lax.broadcasted_iota(jnp.int32, (Qt, LW, NSg), 1)
+    ROWB = 0x3F                                      # LW <= 64 rows
+    d2p = pltpu.bitcast(
+        (pltpu.bitcast(d2, jnp.int32) & ~ROWB) | rowi, jnp.float32)
+    m1i = pltpu.bitcast(jnp.min(d2p, axis=1), jnp.int32)   # [Qt, NSg]
+    r1 = m1i & ROWB
 
     col = lax.broadcasted_iota(jnp.int32, (Qt, NSg), 1)
-    idx = (r0 + r1.astype(jnp.int32)) * NSg + col    # global support rank
-    mi = pltpu.bitcast(m1, jnp.int32)
-    out_ref[...] = pltpu.bitcast((mi & ~0xFFFF) | idx, jnp.float32)
+    idx = (r0 + r1) * NSg + col                      # global support rank
+    out_ref[...] = pltpu.bitcast((m1i & ~0xFFFF) | idx, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("q_tile", "win_rows", "n_segs"))

@@ -69,6 +69,53 @@ def extract_patches(
     return patches
 
 
+def patch_planes_supported(n_points: int, patch_sample: int) -> bool:
+    """True when the planes fast path (:func:`extract_patch_planes`) can
+    serve this cloud/patch-size combination on TPU."""
+    return (jax.default_backend() == "tpu" and patch_sample % 2 == 0
+            and n_points % (patch_sample // 2) == 0)
+
+
+def extract_patch_planes(
+    key: jax.Array,
+    pts: jnp.ndarray,            # [N, 3] raw (first-downsample) cloud
+    pts_valid: jnp.ndarray,      # [N] bool
+    kpts: jnp.ndarray,           # [K, 3]
+    des_r: float,
+    patch_sample: int,
+):
+    """:func:`extract_patches` as component planes (TPU fused front).
+
+    Returns ``(x, y, z)`` [K, S] with filler slots AND the final slot
+    holding the keypoint coordinate (select_patches semantics), so the
+    centered delta planes are simply ``(x - kx) / des_r`` with zeros in
+    filler slots.  Avoids ever materializing the [K, S, 3] array whose
+    3-lane minor dim costs a pathological relayout into the SPT kernel."""
+    from buffer_tpu.kernels.geom_pallas import ball_sample_planes_tpu
+    x, y, z, valid = ball_sample_planes_tpu(key, kpts, pts, pts_valid,
+                                            float(des_r), patch_sample)
+    S = x.shape[1]
+    col = jnp.arange(S, dtype=jnp.int32)[None, :]
+    keep = valid & (col != S - 1)
+    x = jnp.where(keep, x, kpts[:, 0:1])
+    y = jnp.where(keep, y, kpts[:, 1:2])
+    z = jnp.where(keep, z, kpts[:, 2:3])
+    return x, y, z
+
+
+def align_rotation(dataset: str, z_axis: jnp.ndarray) -> jnp.ndarray:
+    """The per-patch alignment rotation of :func:`axis_align` without
+    touching the patch points (planes fast path): Rodrigues taking the
+    learned z-axis to +z for 3DMatch-family data, identity otherwise
+    (patch_embedder.py:123-149)."""
+    if dataset in ("3DMatch", "3DLoMatch"):
+        target = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], z_axis.dtype),
+                                  z_axis.shape)
+        return se3.rodrigues_a_to_b(z_axis, target)
+    return jnp.broadcast_to(jnp.eye(3, dtype=z_axis.dtype),
+                            z_axis.shape[:1] + (3, 3))
+
+
 def axis_align(patches: jnp.ndarray, dataset: str,
                z_axis: Optional[jnp.ndarray], rotate: bool = True):
     """(patch_embedder.py:123-149).  patches [K,S,3]; z_axis [K,3] or None.
@@ -203,6 +250,9 @@ def fused_point_features(
                                              # UNROTATED; the rotation folds
                                              # into the TPU kernel's
                                              # anchors/weights
+    delta_planes: Optional[tuple] = None,    # (x, y, z) [K, S] planes
+                                             # alternative to delta_x
+                                             # (TPU kernel path only)
 ) -> jnp.ndarray:
     """Gather-free SPT + point-MLP + sample-max, for inference.
 
@@ -232,11 +282,15 @@ def fused_point_features(
     scale = g / jnp.sqrt(var + 1e-5)
     W_eff = W * scale[None, :]                   # fold BN into the Dense
     b_eff = (b - mean) * scale + beta
-    R = jnp.asarray(gridmath.azimuth_derotations(azi_n), delta_x.dtype)
+    dt = delta_x.dtype if delta_planes is None else delta_planes[0].dtype
+    R = jnp.asarray(gridmath.azimuth_derotations(azi_n), dt)
     W_all = jnp.einsum("aji,jc->aic", R, W_eff)  # W_a = R_a^T @ W_eff [20,3,16]
     f0 = jax.nn.relu(b_eff)                      # feature of a zero slot
 
-    K, S, _ = delta_x.shape
+    if delta_planes is not None:
+        K, S = delta_planes[0].shape
+    else:
+        K, S, _ = delta_x.shape
     u = jax.random.uniform(key, (S,))
 
     if jax.default_backend() == "tpu":
@@ -245,7 +299,10 @@ def fused_point_features(
         from buffer_tpu.kernels.geom_pallas import spt_pooled_tpu
         return spt_pooled_tpu(W_all, b_eff, f0, u, delta_x,
                               rad_n, azi_n, ele_n,
-                              float(voxel_r), int(voxel_sample), R=R_align)
+                              float(voxel_r), int(voxel_sample), R=R_align,
+                              delta_planes=delta_planes)
+    if delta_planes is not None:
+        delta_x = jnp.stack(delta_planes, axis=-1)
     if R_align is not None:
         delta_x = delta_x @ R_align
 

@@ -36,6 +36,7 @@ import flax.linen as nn
 
 from buffer_tpu.nn.vn import (
     VNLinearLeakyReLU, VNLinearLeakyReLUFlat, VNStdFeature,
+    VNStdFeatureFlat, std_perm,
     masked_instance_norm, mean_pool, unflatten_vn,
 )
 
@@ -245,11 +246,18 @@ class InvariantHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train=False):
-        # x arrives flat [B, N, C*3]; the invariant-frame head is small
-        # (per-point, no neighbor axis), so unflatten locally
-        x = unflatten_vn(x)
-        h = VNStdFeature(self.dim, name="std")(x, mask=mask, train=train)  # [B,N,3C]
-        h = nn.Dense(self.dim * 2, name="conv1")(h)
+        # x arrives flat [B, N, C*3] and STAYS flat: VNStdFeatureFlat never
+        # materializes a [..., 3, C] tensor (whose 3-lane minor dim cost
+        # ~1 ms of relayouts per head at level-0 size).  Its output lanes
+        # are plane-major, so conv1's torch-ordered kernel rows are
+        # permuted to match (a constant [3C]-take, fused at trace time).
+        C = x.shape[-1] // 3
+        h = VNStdFeatureFlat(self.dim, name="std")(x, mask=mask, train=train)
+        dense1 = nn.Dense(self.dim * 2, name="conv1")
+        _ = dense1(jnp.zeros((1, 3 * C), x.dtype))
+        k1 = self.variables["params"]["conv1"]["kernel"]
+        b1 = self.variables["params"]["conv1"]["bias"]
+        h = jnp.matmul(h, jnp.take(k1, std_perm(C), axis=0)) + b1
         h = masked_instance_norm(h, mask, axes=(0, 1))
         h = nn.Dense(self.dim, name="conv2")(h)
         h = masked_instance_norm(h, mask, axes=(0, 1))

@@ -447,6 +447,58 @@ class VNLinearLeakyReLUFlat(nn.Module):
         return out
 
 
+class VNStdFeatureFlat(nn.Module):
+    """:class:`VNStdFeature` on flat ``[..., C*3]`` tensors — no
+    ``[..., 3, C]`` intermediate ever exists (those 3-lane minor dims cost
+    ~1 ms of relayout copies per head at level-0 size).
+
+    Parameter tree is IDENTICAL to :class:`VNStdFeature` (``vn1``/``vn2``
+    with ``map_to_feat``/``map_to_dir``/``batchnorm.bn``, ``vn_lin``), so
+    checkpoints convert the same way.
+
+    The invariant contraction ``std[c, k] = sum_j x[c*3+j] * z[k*3+j]``
+    runs as three flat passes: tile z's k-th component triple across the C
+    channels, multiply, and 3-pool — all lane-major.  Output lanes are
+    PLANE-MAJOR (``k*C + c``), NOT the torch ``c*3 + k`` interleave;
+    consumers must permute the rows of the next dense layer accordingly
+    (:func:`std_perm`)."""
+
+    features: int
+    negative_slope: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        C = x.shape[-1] // 3
+        z = VNLinearLeakyReLUFlat(self.features, self.negative_slope,
+                                  name="vn1")(x, mask=mask, train=train)
+        z = VNLinearLeakyReLUFlat(self.features // 2, self.negative_slope,
+                                  name="vn2")(z, mask=mask, train=train)
+        W_lin = _Kernel((self.features // 2, 3), name="vn_lin")()
+        z3 = jnp.matmul(z, _kron3(W_lin), precision=PRECISION)  # [..., 9]
+        pool = _pool3(C, x.dtype)
+        outs = []
+        for k in range(3):
+            zk = z3[..., k * 3:(k + 1) * 3]                     # [..., 3]
+            tiled = jnp.broadcast_to(
+                zk[..., None, :], zk.shape[:-1] + (C, 3)
+            ).reshape(*zk.shape[:-1], C * 3)
+            outs.append(jnp.matmul(x * tiled, pool, precision=PRECISION))
+        return jnp.concatenate(outs, axis=-1)                   # [..., 3C]
+
+
+def std_perm(C: int) -> jnp.ndarray:
+    """Row permutation mapping a torch-ordered ``[3C, ...]`` dense kernel
+    (row = c*3 + k) onto :class:`VNStdFeatureFlat`'s plane-major output
+    lanes (k*C + c): ``kernel_planes = kernel[std_perm(C)]``."""
+    import numpy as np
+    perm = np.empty(3 * C, np.int32)
+    for k in range(3):
+        for c in range(C):
+            perm[k * C + c] = c * 3 + k
+    return jnp.asarray(perm)
+
+
 def masked_instance_norm(x: jnp.ndarray, mask: jnp.ndarray,
                          axes: tuple, eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm with statistics over ``axes`` restricted to ``mask``.

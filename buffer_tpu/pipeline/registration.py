@@ -91,16 +91,21 @@ def describe_cloud(model: BufferModel, variables, cfg: Config, key,
 
 
 def _describe_delta(model: BufferModel, variables, cfg: Config, key, delta,
-                    R=None):
+                    R=None, delta_planes=None):
     """``delta`` is unrotated when ``R`` is given (the rotation folds into
-    the fused SPT kernel's anchors/weights on TPU)."""
+    the fused SPT kernel's anchors/weights on TPU).  ``delta_planes``
+    carries the same coordinates as (x, y, z) [K, S] planes — the TPU
+    layout that avoids the 3-lane [K, S, 3] relayout."""
     p = cfg.patch
     if cfg.static.fused_desc:
         pooled = pe.fused_point_features(
             variables["Desc"]["params"], variables["Desc"]["batch_stats"],
             key, delta, p.rad_n, p.azi_n, p.ele_n,
-            p.delta / p.rad_n, p.voxel_sample, R_align=R)
+            p.delta / p.rad_n, p.voxel_sample, R_align=R,
+            delta_planes=delta_planes)
         return model.Desc.apply(variables["Desc"], pooled=pooled)
+    if delta_planes is not None:
+        delta = jnp.stack(delta_planes, axis=-1)
     if R is not None:
         delta = delta @ R
     inv = pe.spt(key, delta, p.rad_n, p.azi_n, p.ele_n,
@@ -116,6 +121,30 @@ def describe_both(model: BufferModel, variables, cfg: Config, keys,
     CNN see one [2K, ...] batch."""
     p = cfg.patch
     K = kpts.shape[1]
+    if (cfg.static.fused_desc
+            and pe.patch_planes_supported(raw.shape[-2],
+                                          p.num_points_per_patch)):
+        # planes fast path: coordinates travel as (x, y, z) [K, S] planes
+        # from the ball kernel straight into the SPT kernel — the [K, S, 3]
+        # stacked form's 3-lane minor dim cost a 1.1 ms relayout copy
+        planes, Rs = [], []
+        for b in range(2):
+            k1, _ = jax.random.split(keys[b])
+            x, y, z = pe.extract_patch_planes(
+                k1, raw[b], raw_mask[b], kpts[b], p.des_r,
+                p.num_points_per_patch)
+            planes.append(((x - kpts[b][:, 0:1]) / p.des_r,
+                           (y - kpts[b][:, 1:2]) / p.des_r,
+                           (z - kpts[b][:, 2:3]) / p.des_r))
+            Rs.append(pe.align_rotation(cfg.data.dataset, axes[b]))
+        delta_planes = tuple(
+            jnp.concatenate([planes[0][i], planes[1][i]], axis=0)
+            for i in range(3))
+        R_all = jnp.concatenate(Rs, axis=0)
+        _, k2 = jax.random.split(keys[0])
+        desc, equi = _describe_delta(model, variables, cfg, k2, None,
+                                     R=R_all, delta_planes=delta_planes)
+        return ((desc[:K], equi[:K], Rs[0]), (desc[K:], equi[K:], Rs[1]))
     deltas, Rs = [], []
     for b in range(2):
         k1, _ = jax.random.split(keys[b])
