@@ -155,6 +155,66 @@ def _shoemake_rotation(rs) -> np.ndarray:
     ], np.float32)
 
 
+def icp_check_gt(inputs, T_gt, max_dist, max_src=6000, min_match=0.25):
+    """Cross-check a synthetic pair's ground-truth pose with a trimmed
+    one-step NN-Kabsch (a single robust ICP iteration).
+
+    Warps the (downsampled) source cloud by ``T_gt``, gates nearest
+    neighbors at ``max_dist``, trims to residuals < 3x median, and solves
+    one Kabsch for the residual correction.  If ``T_gt`` is correct the
+    correction is ~the sampling-noise bias (mm scale); a generator bug
+    like r3's doubled translation (commit 2a3d80c) either collapses the
+    matched fraction (reported as rte=inf) or shows up as a correction the
+    size of the error.  This is an INDEPENDENT check: the NN/Kabsch math
+    shares no code with the pair generators' pose synthesis.  (A full
+    iterative ICP was measured to DRIFT 0.1 m / 2.7 deg on cluttered
+    partial-overlap scenes — cross-view clutter points latch onto wrong
+    neighbors and the bias compounds per iteration; one trimmed step
+    measures the GT error without compounding.)
+
+    The Kabsch correction alone is NOT sufficient: on scenes dominated by
+    large smooth surfaces a metres-scale translation error can alias —
+    warped floor/wall points re-land on the same plane, the tangential
+    error is unobservable to point-to-point NN, and the correction stays
+    small (measured: 2x-translation rooms gave corrections of 6-11 mm).
+    The MEDIAN MATCHED RESIDUAL separates cleanly where the correction
+    does not (rooms: <=20 mm good vs >=56 mm at 2x translation; LiDAR:
+    ~165 mm vs >=270 mm), because a wrong pose leaves every non-aliasing
+    point far from its true counterpart.  Callers should gate the
+    per-pair correction loosely and the BUCKET median of ``med`` tightly
+    (a generator bug is systematic, so the distribution shifts).
+
+    Returns ``(rte_m, rre_deg, match_frac, med_residual_m)``.  Mirrors
+    the reference's own ICP verification of its GT poses
+    (``KITTI/dataset.py:95-117``)."""
+    from scipy.spatial import cKDTree
+
+    T = np.asarray(T_gt, np.float64)
+    src = np.asarray(inputs.sds[0])[np.asarray(inputs.sds_mask[0])]
+    tgt = np.asarray(inputs.sds[1])[np.asarray(inputs.sds_mask[1])]
+    if len(src) > max_src:
+        src = src[:: len(src) // max_src]
+    warped = src @ T[:3, :3].T + T[:3, 3]
+    d, nn = cKDTree(tgt).query(warped, k=1, distance_upper_bound=max_dist)
+    ok = np.isfinite(d)
+    inf = float("inf")
+    if ok.mean() < min_match or ok.sum() < 50:
+        return inf, inf, float(ok.mean()), inf   # gross error: no overlap
+    med = np.median(d[ok])
+    keep = ok & (d < 3.0 * med + 1e-9)
+    a, b = warped[keep], tgt[nn[keep]]
+    ca, cb = a.mean(0), b.mean(0)
+    H = (a - ca).T @ (b - cb)
+    U, _, Vt = np.linalg.svd(H)
+    D = np.diag([1.0, 1.0, np.linalg.det(Vt.T @ U.T)])
+    R = Vt.T @ D @ U.T
+    t = cb - R @ ca
+    rte = float(np.linalg.norm(t))
+    rre = float(np.degrees(np.arccos(np.clip(
+        (np.trace(R) - 1.0) / 2.0, -1.0, 1.0))))
+    return rte, rre, float(ok.mean()), float(med)
+
+
 # ---------------------------------------------------------------------------
 # KITTI-style LiDAR scenes
 # ---------------------------------------------------------------------------

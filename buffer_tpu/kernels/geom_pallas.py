@@ -303,11 +303,13 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, bx_ref, by_ref, bz_ref, Rt_ref,
     derotated point-MLP on just those samples, and max-pool; empty slots
     contribute f0 exactly like the reference's zero-filled slots.
 
-    bx/by/bz  [Kt, S]      patch coordinate PLANES, UNROTATED (centered,
-                           /des_r); one [Kt, S] -> [S, Kt] transpose per
-                           component per grid step yields native [S, 1]
-                           column tiles (the old [Kt, S, 3] block carried a
-                           3-lane minor dim the compiler padded 42x)
+    bx/by/bz  [1, S, Kt]   patch coordinate PLANES, UNROTATED (centered,
+                           /des_r), pre-blocked on the host so each
+                           keypoint's coordinates are a STATIC [S, 1]
+                           column slice (the old [Kt, S, 3] block carried
+                           a 3-lane minor dim the compiler padded 42x;
+                           in-kernel [Kt,S]->[S,Kt] transposes measured
+                           +1.4 ms — Mosaic relayouts them slowly)
     Rt_ref    [Kt, 3, 3]   transposed per-patch alignment rotation: the
                            reference rotates every patch point (delta @ R,
                            patch_embedder.py:130-142) — a [K,S,3]@[K,3,3]
@@ -331,11 +333,9 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, bx_ref, by_ref, bz_ref, Rt_ref,
     Wy0 = Wy_ref[...]
     Wz0 = Wz_ref[...]
     anc = anc_ref[...]                              # [A, 3]
-    # one [Kt, S] -> [S, Kt] transpose per component per grid step; each
-    # keypoint's coordinates are then a STATIC [S, 1] column slice
-    bxT = jnp.transpose(bx_ref[...])                # [S, Kt]
-    byT = jnp.transpose(by_ref[...])
-    bzT = jnp.transpose(bz_ref[...])
+    bxT = bx_ref[0]                                 # [S, Kt]
+    byT = by_ref[0]
+    bzT = bz_ref[0]
 
     for kt in range(Kt):
         px = bxT[:, kt:kt + 1]                      # [S, 1] unrotated
@@ -430,7 +430,7 @@ def spt_pooled_tpu(
     Wy = Wrows[:, 1, :].T
     Wz = Wrows[:, 2, :].T
 
-    Kt = 8                       # sublane-aligned keypoint block
+    Kt = 8                       # keypoint block (lane dim of the blocks)
     Kp = _round_up(K, Kt)
     Rt = (jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3))
           if R is None else jnp.swapaxes(R, 1, 2))
@@ -438,8 +438,14 @@ def spt_pooled_tpu(
         pad2 = ((0, Kp - K), (0, 0))
         xP, yP, zP = (jnp.pad(p, pad2) for p in (xP, yP, zP))
         Rt = jnp.pad(Rt, ((0, Kp - K), (0, 0), (0, 0)))
+    # pre-block to [Kp/Kt, S, Kt] on the XLA side (one clean relayout) so
+    # each grid step reads a [S, Kt] block whose per-keypoint coordinates
+    # are STATIC [S, 1] column slices
+    blockify = lambda p: jnp.moveaxis(p.reshape(Kp // Kt, Kt, S), 1, 2)
+    xB, yB, zB = blockify(xP), blockify(yP), blockify(zP)
 
-    spec_p = pl.BlockSpec((Kt, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_p = pl.BlockSpec((1, S, Kt), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     spec_c = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -457,7 +463,7 @@ def spt_pooled_tpu(
         out_specs=pl.BlockSpec((Kt, 16, A), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Kp, 16, A), jnp.float32),
-    )(xP, yP, zP, Rt, Wx, Wy, Wz, b_eff[:, None], f0[:, None], u[:, None],
+    )(xB, yB, zB, Rt, Wx, Wy, Wz, b_eff[:, None], f0[:, None], u[:, None],
       anc_azi_major)
 
     # [K, 16, A(=AZ*G)] -> [K, G, AZ, 16] -> [K, rad, ele, azi, 16]

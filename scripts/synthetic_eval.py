@@ -40,14 +40,34 @@ SNAPS = {
 
 
 def run_bucket(fn, variables, cfg, pair_gen, n_pairs, seed, rte_th, rre_th,
-               label):
+               label, gt_check=None):
     import jax
     from buffer_tpu.eval.metrics import rte_rre
+    from buffer_tpu.data.synthetic import icp_check_gt
 
     rs = np.random.RandomState(seed)
-    states = []
+    states, gt_meds = [], []
     for i in range(n_pairs):
         inputs, T, desc = pair_gen(cfg, rs, i)
+        if gt_check is not None:
+            # independent host cross-check of the generator's GT pose
+            # (catches the r3 doubled-translation class of bug, 2a3d80c,
+            # before it can corrupt the recall the driver reads).  The
+            # per-pair Kabsch correction is gated LOOSELY (it aliases on
+            # smooth surfaces); the decisive signal is the BUCKET median
+            # of median matched residuals, asserted after the loop — a
+            # generator bug is systematic, so the whole distribution
+            # shifts while per-pair scene noise does not.
+            max_dist, rte_tol, rre_tol, med_tol = gt_check
+            g_rte, g_rre, g_frac, g_med = icp_check_gt(inputs, T, max_dist)
+            gt_meds.append(g_med)
+            if g_rte > rte_tol or g_rre > rre_tol:
+                raise RuntimeError(
+                    f"[{label}] pair {i}: synthetic GT fails the ICP "
+                    f"cross-check (correction RTE={g_rte:.4f} m "
+                    f"RRE={g_rre:.3f} deg, match_frac={g_frac:.3f} vs tol "
+                    f"{rte_tol}/{rre_tol}) — generator GT bug, not a "
+                    f"model failure")
         res = fn(variables, inputs, jax.random.PRNGKey(i))
         rte, rre = rte_rre(np.asarray(res.pose, np.float64),
                            np.asarray(T, np.float64))
@@ -56,6 +76,18 @@ def run_bucket(fn, variables, cfg, pair_gen, n_pairs, seed, rte_th, rre_th,
         print(f"[{label}] pair {i:3d} {desc} mutual={int(res.num_mutual):4d} "
               f"RTE={rte:.4f} RRE={rre:.3f} {'OK' if ok else 'FAIL'}",
               flush=True)
+    if gt_meds:
+        bucket_med = float(np.median(gt_meds))
+        med_tol = gt_check[3]
+        print(f"[{label}] GT cross-check: bucket median residual "
+              f"{bucket_med*1000:.1f} mm (tol {med_tol*1000:.0f} mm)",
+              flush=True)
+        if bucket_med > med_tol:
+            raise RuntimeError(
+                f"[{label}] synthetic GT fails the bucket-level ICP "
+                f"cross-check (median matched residual {bucket_med:.4f} m "
+                f"> tol {med_tol} m) — systematic generator GT bug, not "
+                f"a model failure")
     recall = float(np.mean(states)) if states else float("nan")
     print(f"[{label}] recall: {recall:.3f} over {len(states)} pairs",
           flush=True)
@@ -84,6 +116,9 @@ def main():
                          "for budget re-validation on the hard buckets")
     ap.add_argument("--hypotheses", type=int, default=None,
                     help="override MatchConfig.hypotheses (batched RANSAC)")
+    ap.add_argument("--no-check-gt", action="store_true",
+                    help="skip the per-pair host-ICP cross-check of the "
+                         "generator GT (on by default)")
     args = ap.parse_args()
 
     import jax  # noqa: F401
@@ -138,13 +173,24 @@ def main():
             return inputs, T, (f"overlap={overlap:.2f} noise={noise:.3f} "
                                f"clutter={clutter:.2f}")
 
+        # GT cross-check tolerances (max_dist, per-pair rte/rre LOOSE
+        # bounds, bucket-median residual tol).  Measured good-GT bands:
+        # per-pair correction <=5 mm/0.05 deg, median residual 12-20 mm
+        # (hi overlap) to 45 mm worst-case (low overlap, cross-view
+        # clutter); at 2x translation (the 2a3d80c bug class) the
+        # correction ALIASES on smooth surfaces (6-11 mm) but the median
+        # residual jumps to >=56 mm on every scene — hence the loose
+        # per-pair gate + tight 40 mm bucket-median gate.
+        gt_check = None if args.no_check_gt else (0.10, 0.05, 1.0, 0.040)
         # seed 7 keeps the primary bucket's scene stream identical to the
         # round-2 gate (0.98 recall over 50 pairs)
         r_hi, n_hi = run_bucket(fn, variables, cfg, gen_high, args.pairs, 7,
-                                0.3, 15.0, "overlap_045_095")
+                                0.3, 15.0, "overlap_045_095",
+                                gt_check=gt_check)
         n_low = args.low_pairs if args.low_pairs is not None else args.pairs
         r_lo, n_lo = run_bucket(fn, variables, cfg, gen_low, n_low, 11,
-                                0.3, 15.0, "overlap_025_045")
+                                0.3, 15.0, "overlap_025_045",
+                                gt_check=gt_check)
         buckets = {"overlap_045_095": {"recall": round(r_hi, 4), "pairs": n_hi},
                    "overlap_025_045": {"recall": round(r_lo, 4), "pairs": n_lo}}
         primary, low = r_hi, r_lo
@@ -157,8 +203,13 @@ def main():
             inputs, T = make_lidar_pair(cfg, rs, dist=dist, noise=noise)
             return inputs, T, f"dist={dist:.1f} noise={noise:.3f}"
 
+        # LiDAR clouds: 0.30 m voxels + up to 2 cm noise => coarser bias
+        # band (good median residual ~165-170 mm; >=270 mm at 2x
+        # translation); the guarded bug class is metres-scale
+        gt_check = None if args.no_check_gt else (1.0, 0.30, 1.0, 0.220)
         primary, n_primary = run_bucket(fn, variables, cfg, gen_kitti,
-                                        args.pairs, 13, 0.3, 1.0, "kitti")
+                                        args.pairs, 13, 0.3, 1.0, "kitti",
+                                        gt_check=gt_check)
         buckets = {"kitti": {"recall": round(primary, 4), "pairs": n_primary}}
         low = None
         unit = "recall@0.3m/1deg"
