@@ -418,6 +418,16 @@ def spt_pooled_tpu(
     while S % NSEG:
         NSEG += 1
     NUSE = min(voxel_sample, NSEG)
+    # Only the first NUSE segments can ever win a slot (the kernel slices
+    # m[:NUSE]); rows NUSE*LS..S of every patch are dead weight in the
+    # dominant [S, A] ball-test/top-1 fields.  Trim them BEFORE the kernel:
+    # with S=512, voxel_sample=10 this cuts 37.5% of the field volume for
+    # bit-identical output (same segments, same priorities, same winners).
+    S_eff = NUSE * (S // NSEG)
+    if S_eff < S:
+        xP, yP, zP = xP[:, :S_eff], yP[:, :S_eff], zP[:, :S_eff]
+        u = u[:S_eff]
+        S, NSEG = S_eff, NUSE
 
     anchors = jnp.asarray(
         gridmath.get_voxel_coordinate(1.0, rad_n, azi_n, ele_n)

@@ -59,13 +59,20 @@ def test_nearest_matches_numpy():
     np.testing.assert_allclose(np.asarray(d), d2.min(1), rtol=1e-4, atol=1e-6)
 
 
-def test_spt_pooled_matches_numpy_emulation():
+import pytest
+
+
+@pytest.mark.parametrize("vs", [4, 3])
+def test_spt_pooled_matches_numpy_emulation(vs):
     """Stratified sampled-SPT kernel vs a direct numpy emulation of its
     spec: per anchor, the top-priority in-ball point of each of the first
-    voxel_sample segments, folded-MLP'd and max-pooled with f0 fill."""
+    voxel_sample segments, folded-MLP'd and max-pooled with f0 fill.
+
+    vs=3 exercises the dead-segment trim (S=64 -> NSEG=4 > NUSE=3, so the
+    kernel drops the last 16 rows); vs=4 is the untrimmed path."""
     rs = np.random.RandomState(2)
     K, S = 3, 64
-    rad_n, azi_n, ele_n, vs = 2, 4, 3, 4
+    rad_n, azi_n, ele_n = 2, 4, 3
     voxel_r = 0.4
     delta = (rs.randn(K, S, 3) * 0.4).astype(np.float32)
     W_all = (rs.randn(azi_n, 3, 16) * 0.5).astype(np.float32)
