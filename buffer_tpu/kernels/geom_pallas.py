@@ -303,6 +303,22 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, bx_ref, by_ref, bz_ref, Rt_ref,
     derotated point-MLP on just those samples, and max-pool; empty slots
     contribute f0 exactly like the reference's zero-filled slots.
 
+    Patch points are ROTATED per keypoint in-kernel (pr = p @ R, 9 cheap
+    [S,1]-column FMAs) — the reference's own orientation (delta @ R,
+    patch_embedder.py:130-142) — so the anchor grid AND the MLP weight
+    rows are shared across keypoints.  The ball test then runs in the
+    expanded form  d2 = |pr|^2 + |a|^2 - 2 pr.a  with |pr|^2 folded into
+    the radius threshold:  3 FMA passes + 1 compare over the [S, A] field
+    instead of the 8-pass coordinate-difference form.  (Expanded-form
+    rounding differs from the difference form by a few ulps of |p||a| ~ 1;
+    the in-ball boundary at r2 ~ 0.1 flips only for |d2 - r2| < ~1e-6 —
+    measure-zero for random clouds, and the selection feeds a max-pooled
+    MLP.)  Tie-handling note: the old one-hot extraction divided by the
+    match count ("ties -> mean"), but priorities u are distinct random
+    floats shared across anchors, so two in-ball slots of one segment can
+    never tie — the count machinery was dead weight and is dropped (sum of
+    a one-hot select is the winner's value exactly).
+
     bx/by/bz  [1, S, Kt]   patch coordinate PLANES, UNROTATED (centered,
                            /des_r), pre-blocked on the host so each
                            keypoint's coordinates are a STATIC [S, 1]
@@ -310,29 +326,29 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, bx_ref, by_ref, bz_ref, Rt_ref,
                            a 3-lane minor dim the compiler padded 42x;
                            in-kernel [Kt,S]->[S,Kt] transposes measured
                            +1.4 ms — Mosaic relayouts them slowly)
-    Rt_ref    [Kt, 3, 3]   transposed per-patch alignment rotation: the
-                           reference rotates every patch point (delta @ R,
-                           patch_embedder.py:130-142) — a [K,S,3]@[K,3,3]
-                           batched matmul with 3-lane outputs that XLA runs
-                           at ~56 GB/s.  Rotating the 420 anchors and the
-                           3 weight rows per keypoint instead is free:
-                           d2(p@R, a) = d2(p, a@R^T) and W'(e) = sum_d
-                           R[e,d] W(d).
+    Rt_ref    [Kt, 3, 3]   transposed per-patch alignment rotation R^T
     Wx/Wy/Wz  [16, A]      folded MLP weight rows, azimuth-expanded per anchor
     b_ref     [16, 1]      folded bias
     f0_ref    [16, 1]      feature of a zero sample slot
     u_ref     [S, 1]       shared per-slot random priorities
-    anc_ref   [3, A]       cylindrical anchors (azimuth-major columns)
+    anc_ref   [3, A]       cylindrical anchor COMPONENT PLANES
     out_ref   [Kt, 16, A]
     """
     LS = S // NSEG
     u = u_ref[...]                                  # [S, 1]
     b = b_ref[...]                                  # [16, 1]
     f0 = f0_ref[...]                                # [16, 1]
-    Wx0 = Wx_ref[...]                               # [16, A]
-    Wy0 = Wy_ref[...]
-    Wz0 = Wz_ref[...]
-    anc = anc_ref[...]                              # [A, 3]
+    Wx = Wx_ref[...]                                # [16, A]
+    Wy = Wy_ref[...]
+    Wz = Wz_ref[...]
+    ax = anc_ref[0:1, :]                            # [1, A]
+    ay = anc_ref[1:2, :]
+    az = anc_ref[2:3, :]
+    # per-grid-step anchor prep, shared by all Kt keypoints
+    ax2 = -2.0 * ax
+    ay2 = -2.0 * ay
+    az2 = -2.0 * az
+    an = ax * ax + ay * ay + az * az                # [1, A] |a|^2
     bxT = bx_ref[0]                                 # [S, Kt]
     byT = by_ref[0]
     bzT = bz_ref[0]
@@ -342,33 +358,27 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, bx_ref, by_ref, bz_ref, Rt_ref,
         py = byT[:, kt:kt + 1]
         pz = bzT[:, kt:kt + 1]
         Rt = Rt_ref[kt]                             # [3, 3] = R^T
-        anc_r = jnp.dot(anc, Rt,
-                        preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)          # a @ R^T
-        # W'(e) = sum_d R[e,d] W(d);  R[e,d] = Rt[d,e]
-        Wx = Rt[0, 0] * Wx0 + Rt[1, 0] * Wy0 + Rt[2, 0] * Wz0
-        Wy = Rt[0, 1] * Wx0 + Rt[1, 1] * Wy0 + Rt[2, 1] * Wz0
-        Wz = Rt[0, 2] * Wx0 + Rt[1, 2] * Wy0 + Rt[2, 2] * Wz0
-        ax = anc_r[:, 0][None, :]                   # [1, A]
-        ay = anc_r[:, 1][None, :]
-        az = anc_r[:, 2][None, :]
-        # NOTE (r2): one [S,3]@[3,A] HIGHEST dot for this field measured
-        # SLOWER than these 6 VPU passes (tiny-K MXU dots issued per
-        # keypoint are latency-bound); a bf16 ball-test field fails to
-        # compile (Mosaic "Invalid relayout" on the broadcast).
-        d2 = ((px - ax) ** 2 + (py - ay) ** 2 + (pz - az) ** 2)   # [S, A]
-        score = jnp.where(d2 <= r2, u, -BIG)        # [S, A]
+        # pr = p @ R: pr_e = sum_d p_d R[d,e] = sum_d p_d Rt[e,d]
+        prx = px * Rt[0, 0] + py * Rt[0, 1] + pz * Rt[0, 2]   # [S, 1]
+        pry = px * Rt[1, 0] + py * Rt[1, 1] + pz * Rt[1, 2]
+        prz = px * Rt[2, 0] + py * Rt[2, 1] + pz * Rt[2, 2]
+        # ball test: d2 = |pr|^2 + |a|^2 - 2 pr.a <= r2, with |pr|^2
+        # moved to the threshold side — the [S, A] field is 3 FMAs
+        rhs = r2 - (prx * prx + pry * pry + prz * prz)        # [S, 1]
+        t = prx * ax2 + an                                    # [S, A]
+        t = t + pry * ay2
+        t = t + prz * az2
+        score = jnp.where(t <= rhs, u, -BIG)        # [S, A]
 
-        # top-1 random priority per 32-point segment: sublane split is free
+        # top-1 random priority per segment: sublane split is free
         s3 = score.reshape(NSEG, LS, -1)            # [NSEG, LS, A]
         m = jnp.max(s3, axis=1)                     # [NSEG, A]
         oh = (s3 == m[:, None, :]).astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(oh, axis=1), 1.0)
-        xs = jnp.sum(oh * px.reshape(NSEG, LS, 1), axis=1) / cnt
-        ys = jnp.sum(oh * py.reshape(NSEG, LS, 1), axis=1) / cnt
-        zs = jnp.sum(oh * pz.reshape(NSEG, LS, 1), axis=1) / cnt
+        xs = jnp.sum(oh * prx.reshape(NSEG, LS, 1), axis=1)
+        ys = jnp.sum(oh * pry.reshape(NSEG, LS, 1), axis=1)
+        zs = jnp.sum(oh * prz.reshape(NSEG, LS, 1), axis=1)
         A_ = m.shape[-1]
-        vf = (m[:NUSE] > -BIG / 2).astype(jnp.float32).reshape(NUSE, 1, A_)
+        vf = m[:NUSE] > -BIG / 2                    # [NUSE, A] bool
         xs3 = xs[:NUSE].reshape(NUSE, 1, A_)
         ys3 = ys[:NUSE].reshape(NUSE, 1, A_)
         zs3 = zs[:NUSE].reshape(NUSE, 1, A_)
@@ -379,7 +389,8 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, bx_ref, by_ref, bz_ref, Rt_ref,
             + zs3 * Wz.reshape(1, 16, A_) + b.reshape(1, 16, 1),
             0.0)                                                  # [NUSE,16,A]
         # empty slots carry f0 (reference zero-fill through relu(bn(0)))
-        feats = feats * vf + f0.reshape(1, 16, 1) * (1.0 - vf)
+        feats = jnp.where(vf.reshape(NUSE, 1, A_), feats,
+                          f0.reshape(1, 16, 1))
         out_ref[kt, :, :] = jnp.max(feats, axis=0)  # [16, A]
 
 
@@ -432,7 +443,7 @@ def spt_pooled_tpu(
     anchors = jnp.asarray(
         gridmath.get_voxel_coordinate(1.0, rad_n, azi_n, ele_n)
         .reshape(-1, 3), jnp.float32)                # [(g)*AZ + a, 3]
-    anc_azi_major = anchors.reshape(G, AZ, 3).transpose(1, 0, 2).reshape(-1, 3)
+    anc_planes = anchors.reshape(G, AZ, 3).transpose(2, 1, 0).reshape(3, -1)
 
     # weight row per anchor column (azimuth-major: column a*G+g uses W_all[a])
     Wrows = jnp.repeat(W_all, G, axis=0)             # [A, 3, 16]
@@ -468,13 +479,13 @@ def spt_pooled_tpu(
                          memory_space=pltpu.VMEM),
             spec_c((16, A)), spec_c((16, A)), spec_c((16, A)),
             spec_c((16, 1)), spec_c((16, 1)), spec_c((S, 1)),
-            spec_c((A, 3)),
+            spec_c((3, A)),
         ],
         out_specs=pl.BlockSpec((Kt, 16, A), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Kp, 16, A), jnp.float32),
     )(xB, yB, zB, Rt, Wx, Wy, Wz, b_eff[:, None], f0[:, None], u[:, None],
-      anc_azi_major)
+      anc_planes)
 
     # [K, 16, A(=AZ*G)] -> [K, G, AZ, 16] -> [K, rad, ele, azi, 16]
     pooled = out[:K].reshape(K, 16, AZ, G).transpose(0, 3, 2, 1)
