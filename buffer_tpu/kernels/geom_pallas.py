@@ -54,36 +54,47 @@ def _sqdist_tile(qt, sp):
     return dx * dx + dy * dy + dz * dz
 
 
-def _ball_kernel(L, NS, r2, q_ref, sgrid_ref, u_ref, *out_refs):
+def _ball_kernel(L, NS, r2, q_ref, sgrid_ref, sn_ref, u_ref, *out_refs):
     """Segments live in the LANE dimension: support is pre-transposed to a
     [L, NS] grid whose column s is the XLA path's contiguous segment s
     (original index n = s*L + l at [l, s]).  Every reduction (segment max,
     one-hot coordinate extraction) is then a sublane reduce — no per-segment
-    loop, no cross-lane argmax."""
+    loop, no cross-lane argmax.
+
+    The ball test runs in the expanded form d2 = |q|^2 + |s|^2 - 2 q.s
+    with |q|^2 folded into the radius threshold and |s|^2 precomputed
+    ([L, NS] input): 3 FMA passes + 1 compare over the dominant
+    [Qt, L, NS] field instead of the 7-pass coordinate-difference form.
+    (Expanded-form rounding differs by a few ulps of |q||s|; boundary
+    flips need |d2 - r2| inside that sliver — measure-zero on real
+    clouds, and the selection feeds random-priority sampling.)  The old
+    "ties -> mean" count machinery is dropped: priorities are distinct
+    random floats, so two in-ball rows of one segment can never tie and
+    the one-hot sum is exactly the winner's coordinate."""
     (x1_ref, y1_ref, z1_ref, v1_ref, x2_ref, y2_ref, z2_ref, v2_ref) = out_refs
     qt = q_ref[...]                            # [Qt, 3]
     Qt = qt.shape[0]
     sx = sgrid_ref[0]                          # [L, NS]
     sy = sgrid_ref[1]
     sz = sgrid_ref[2]
+    sn = sn_ref[0]                             # [L, NS] |s|^2
     u = u_ref[0]                               # [L, NS] (-BIG where invalid)
 
     qx = qt[:, 0][:, None, None]
     qy = qt[:, 1][:, None, None]
     qz = qt[:, 2][:, None, None]
-    dx = qx - sx[None]
-    dy = qy - sy[None]
-    dz = qz - sz[None]
-    d2 = dx * dx + dy * dy + dz * dz           # [Qt, L, NS]
-    score = jnp.where(d2 <= r2, u[None], -BIG)
+    rhs = r2 - (qx * qx + qy * qy + qz * qz)   # [Qt, 1, 1]
+    t = (-2.0 * qx) * sx[None] + sn[None]      # [Qt, L, NS]
+    t = t + (-2.0 * qy) * sy[None]
+    t = t + (-2.0 * qz) * sz[None]
+    score = jnp.where(t <= rhs, u[None], -BIG)
 
     def rank(sc):
         m = jnp.max(sc, axis=1)                # [Qt, NS]
         oh = (sc == m[:, None, :]).astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(oh, axis=1), 1.0)   # ties -> mean (rare)
-        x = jnp.sum(oh * sx[None], axis=1) / cnt
-        y = jnp.sum(oh * sy[None], axis=1) / cnt
-        z = jnp.sum(oh * sz[None], axis=1) / cnt
+        x = jnp.sum(oh * sx[None], axis=1)
+        y = jnp.sum(oh * sy[None], axis=1)
+        z = jnp.sum(oh * sz[None], axis=1)
         return m, oh, x, y, z
 
     m1, oh1, x1, y1, z1 = rank(score)
@@ -130,6 +141,8 @@ def ball_sample_points_tpu(
     u = jnp.where(support_valid, prio, -BIG)
     # [L, NS] grids: column s = contiguous segment s of the XLA path
     sgrid = support.T.reshape(3, NS, L).transpose(0, 2, 1)       # [3, L, NS]
+    sn = jnp.sum(support * support, axis=-1)                     # [N] |s|^2
+    sngrid = sn.reshape(1, NS, L).transpose(0, 2, 1)             # [1, L, NS]
     ugrid = u.reshape(1, NS, L).transpose(0, 2, 1)               # [1, L, NS]
 
     Qp = _round_up(Q, q_tile)
@@ -150,11 +163,13 @@ def ball_sample_points_tpu(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, NS), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, NS), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(out_spec,) * 8,
         out_shape=(out_sd, out_sd, out_sd, out_sdb,
                    out_sd, out_sd, out_sd, out_sdb),
-    )(qpad, sgrid, ugrid)
+    )(qpad, sgrid, sngrid, ugrid)
     x1, y1, z1, v1, x2, y2, z2, v2 = outs
     p1 = jnp.stack([x1, y1, z1], axis=-1)[:Q]                    # [Q, NS, 3]
     p2 = jnp.stack([x2, y2, z2], axis=-1)[:Q]
@@ -188,6 +203,8 @@ def ball_sample_planes_tpu(
     prio = jax.random.uniform(key, (N,), dtype=jnp.float32)
     u = jnp.where(support_valid, prio, -BIG)
     sgrid = support.T.reshape(3, NS, L).transpose(0, 2, 1)       # [3, L, NS]
+    sn = jnp.sum(support * support, axis=-1)                     # [N] |s|^2
+    sngrid = sn.reshape(1, NS, L).transpose(0, 2, 1)             # [1, L, NS]
     ugrid = u.reshape(1, NS, L).transpose(0, 2, 1)               # [1, L, NS]
 
     Qp = _round_up(Q, q_tile)
@@ -208,11 +225,13 @@ def ball_sample_planes_tpu(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, NS), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, NS), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(out_spec,) * 8,
         out_shape=(out_sd, out_sd, out_sd, out_sdb,
                    out_sd, out_sd, out_sd, out_sdb),
-    )(qpad, sgrid, ugrid)
+    )(qpad, sgrid, sngrid, ugrid)
     x = jnp.concatenate([x1[:Q], x2[:Q]], axis=1)                # [Q, k]
     y = jnp.concatenate([y1[:Q], y2[:Q]], axis=1)
     z = jnp.concatenate([z1[:Q], z2[:Q]], axis=1)
