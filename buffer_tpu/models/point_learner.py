@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from buffer_tpu.utils import flags
 from buffer_tpu.nn.vn import (
     VNLinearLeakyReLU, VNLinearLeakyReLUFlat, VNStdFeature,
     VNStdFeatureFlat, std_perm,
@@ -98,7 +99,7 @@ def gather_neighborhood(
     from buffer_tpu.ops.neighbors import gather_coord_feat_bf16
     C3 = s_feat.shape[-1]
     if pack is None:
-        pack = jax.default_backend() == "tpu"
+        pack = jax.default_backend() == "tpu" and not flags.EXACT_F32
     pack = pack and C3 % 2 == 0 and C3 >= 6
     # shadow-row gather (the reference's own trick, point_learner.py:328):
     # invalid slots index a zero pad row, so the wide per-feature select
@@ -163,7 +164,8 @@ class VNNConvBlock(nn.Module):
                  offsets=None):
         neighb_x, eqv = gather_neighborhood(
             s_pts, x, q_pts, idx, valid, self.scale, offsets=offsets,
-            eval_bf16=not train and jax.default_backend() == "tpu")
+            eval_bf16=(not train and jax.default_backend() == "tpu"
+                       and not flags.EXACT_F32))
         inp = _vnn_input(neighb_x, eqv, self.mode)
         bn_mask = jnp.broadcast_to(q_mask[:, :, None], idx.shape)
         return VNLinearLeakyReLUFlat(self.out_dim, reduce_k=True, name="conv")(
@@ -183,7 +185,8 @@ class VNNResnetBlock(nn.Module):
     def __call__(self, x, q_pts, q_mask, s_pts, idx, valid, train=False):
         neighb_x, eqv = gather_neighborhood(
             s_pts, x, q_pts, idx, valid, self.scale,
-            eval_bf16=not train and jax.default_backend() == "tpu")
+            eval_bf16=(not train and jax.default_backend() == "tpu"
+                       and not flags.EXACT_F32))
         inp = _vnn_input(neighb_x, eqv, "1")
         bn_mask = jnp.broadcast_to(q_mask[:, :, None], idx.shape)
         h = VNLinearLeakyReLUFlat(self.out_dim // 2, reduce_k=True, name="conv")(
@@ -226,7 +229,7 @@ def nearest_upsample(x: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray,
     from buffer_tpu.ops.neighbors import gather_rows_bf16
     C3 = x.shape[-1]
     if pack is None:
-        pack = jax.default_backend() == "tpu"
+        pack = jax.default_backend() == "tpu" and not flags.EXACT_F32
     if pack and C3 % 2 == 0 and C3 >= 6:
         up = gather_rows_bf16(x, idx)
     else:

@@ -342,7 +342,9 @@ def vnn_block_planes(
         #   near-threshold gate flips perturb values by O(noise), unlike
         #   hard selects.  Measured on the full pipeline: mutual matches
         #   and sanity RTE/RRE unchanged (see bench history).
-        on_tpu = jax.default_backend() == "tpu"
+        from buffer_tpu.utils import flags
+        on_tpu = (jax.default_backend() == "tpu"
+                  and not flags.EXACT_F32)
         # The [3, M, K*Cout] p/d planes are the dominant HBM tensors of the
         # whole EFCNN (250 MB each at the enc0 shape, written once per part
         # matmul and re-read by every elementwise pass — ~2 GB/block on the

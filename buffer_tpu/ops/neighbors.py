@@ -51,6 +51,9 @@ def _pad_rows(x: jnp.ndarray, multiple: int, fill) -> jnp.ndarray:
 
 def _default_method() -> str:
     import jax
+    from buffer_tpu.utils import flags
+    if flags.EXACT_F32:
+        return "exact"
     return "approx" if jax.default_backend() == "tpu" else "exact"
 
 
@@ -278,6 +281,59 @@ def radius_knn_banded(
 
 def _round_up_rows(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def _spread3(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of x to bit positions 0,3,6,...,27
+    (standard Morton magic numbers)."""
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def morton_codes(pts: jnp.ndarray, valid: jnp.ndarray, lo: jnp.ndarray,
+                 span: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
+    """On-device Z-order codes over a given bounding box (the jit analog
+    of data/preprocess.morton_sort, same bit order: code bit 3b+d from
+    bit b of dim d).  Invalid rows get the maximal code so they sort to
+    the end.  Callers quantizing TWO clouds onto a COMMON curve must pass
+    the joint lo/span."""
+    q = jnp.clip((pts - lo) / span * (2 ** bits - 1), 0.0,
+                 2 ** bits - 1).astype(jnp.uint32)
+    code = (_spread3(q[..., 0]) | (_spread3(q[..., 1]) << 1)
+            | (_spread3(q[..., 2]) << 2))
+    return jnp.where(valid, code, jnp.uint32(0xFFFFFFFF))
+
+
+def nearest_common_morton(query, q_valid, support, s_valid, band,
+                          chunk=8192):
+    """1-NN where query and support are NOT pre-sorted on a common curve
+    (e.g. gt-warped source vs target in train-time match mining): sorts
+    both on a joint-bbox Morton curve ON DEVICE, runs the banded 1-NN on
+    the sorted arrays, and maps results back to the original row order.
+    Exact within the +-band rank window; a miss only overestimates the
+    distance (callers thresholding d2 just lose that candidate).
+
+    Returns (d2 [Q], idx [Q] int32 into the ORIGINAL support order)."""
+    bigq = jnp.where(q_valid[:, None], query, BIG)
+    bigs = jnp.where(s_valid[:, None], support, BIG)
+    smallq = jnp.where(q_valid[:, None], query, -BIG)
+    smalls = jnp.where(s_valid[:, None], support, -BIG)
+    lo = jnp.minimum(jnp.min(bigq, axis=0), jnp.min(bigs, axis=0))
+    hi = jnp.maximum(jnp.max(smallq, axis=0), jnp.max(smalls, axis=0))
+    span = jnp.maximum(hi - lo, 1e-9)
+    cq = morton_codes(query, q_valid, lo, span)
+    cs = morton_codes(support, s_valid, lo, span)
+    pq = jnp.argsort(cq).astype(jnp.int32)
+    ps = jnp.argsort(cs).astype(jnp.int32)
+    qs, qm = query[pq], q_valid[pq]
+    ss, sm = support[ps], s_valid[ps]
+    d2s, nns = nearest(qs, ss, sm, chunk=chunk, band=band, query_valid=qm)
+    nn_orig = ps[nns]                       # sorted support rank -> original
+    inv = jnp.argsort(pq).astype(jnp.int32)  # original row -> sorted rank
+    return d2s[inv], nn_orig[inv]
 
 
 def nearest_banded(

@@ -28,6 +28,11 @@ from buffer_tpu.core.numerics import safe_norm, safe_normalize
 from buffer_tpu.models.composite import BufferModel
 from buffer_tpu.models import patch_embedder as pe
 from buffer_tpu.models.heads import equi_match
+
+# matmul precision for the whole stage_loss trace (forward AND backward —
+# value_and_grad inherits it through dot_general's transpose rule).  Module
+# constant so scripts/profile_train.py --precision-check can A/B it.
+_PRECISION_OVERRIDE = "high"
 from buffer_tpu.ops.neighbors import nearest
 from buffer_tpu.pipeline.pyramid import build_pyramid_and_normals
 from buffer_tpu.pipeline.registration import PairInputs, orient_axes
@@ -41,12 +46,24 @@ class MatchSample(NamedTuple):
 
 
 def sample_matches(key, src_pts, src_mask, tgt_pts, tgt_mask, relt_pose,
-                   radius: float, num: int, chunk: int) -> MatchSample:
+                   radius: float, num: int, chunk: int,
+                   band: int = 0) -> MatchSample:
     """Positive pairs: src NN in the gt-transformed frame within
     ``voxel_size_0`` (models/BUFFER.py:361-380), uniformly subsampled to a
-    static ``num`` rows (models/BUFFER.py:166-168)."""
+    static ``num`` rows (models/BUFFER.py:166-168).
+
+    With ``band`` set the 1-NN runs rank-banded on a joint on-device
+    Morton sort of (warped src, tgt) instead of the full [N, N] field
+    (the clouds' host sort orders don't survive the gt warp).  A banded
+    miss only drops that point from the positive-candidate pool — the
+    sampler keeps ``num`` of typically thousands of in-radius pairs."""
     warped = se3.transform(src_pts, relt_pose)
-    d2, nn = nearest(warped, tgt_pts, tgt_mask, chunk=chunk)
+    if band and 2 * band < tgt_pts.shape[0]:
+        from buffer_tpu.ops.neighbors import nearest_common_morton
+        d2, nn = nearest_common_morton(warped, src_mask, tgt_pts, tgt_mask,
+                                       band, chunk=chunk)
+    else:
+        d2, nn = nearest(warped, tgt_pts, tgt_mask, chunk=chunk)
     ok = (d2 < radius * radius) & src_mask
     prio = jnp.where(ok, jax.random.uniform(key, ok.shape), -jnp.inf)
     _, idx = jax.lax.top_k(prio, num)
@@ -117,14 +134,21 @@ def stage_loss(
     train: bool = True,
     det_margin: float = 1.05,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, dict]]:
-    # HIGH (bf16_3x, ~2e-7 relative) not HIGHEST (bf16_6x): the VN gating
-    # math that motivated raising precision is fp32-grade already at HIGH
-    # (see the PRECISION note in nn/vn.py), and the backward pass runs at
-    # the same default — 6-pass buys nothing measurable in gradient quality
-    # while costing ~2x on every unannotated matmul.  On CPU (the test
-    # platform) matmul precision is a no-op, so torch-oracle parity is
-    # unaffected.
-    with jax.default_matmul_precision("high"):
+    # HIGH (bf16_3x, ~2e-7 relative) not HIGHEST (bf16_6x).  NOTE this
+    # context wraps the whole value_and_grad trace (trainer.py), and
+    # dot_general's transpose rule inherits the forward dot's precision —
+    # so GRADIENT matmuls run at HIGH too (ADVICE r3).  Measured on chip
+    # (scripts/profile_train.py --precision-check, small plan, random
+    # init): grad rel-L2(high vs highest) ~ 1.0 and even the LOSS at
+    # identical params differs ~13% — the train forward is chaotically
+    # sensitive to ulp-level perturbation (norm normalizations + hard VN
+    # gate flips amplify 1e-7 matmul noise), so the precision choice acts
+    # like a seed change, not a systematic bias; HIGHEST is not "more
+    # correct" here, just 2x slower.  Functional gates are the CPU-exact
+    # convergence tests and the trained-from-scratch recall artifact
+    # (TRAINED_r04.json).  On CPU (the test platform) matmul precision is
+    # a no-op, so torch-oracle parity is unaffected.
+    with jax.default_matmul_precision(_PRECISION_OVERRIDE):
         return _stage_loss(model, variables, stage, inputs, relt_pose, key,
                            train, det_margin)
 
@@ -142,14 +166,24 @@ def _stage_loss(model, variables, stage, inputs, relt_pose, key,
     pyr = build_pyramid_and_normals(cfg, inputs.sds, inputs.sds_mask,
                                     levels=levels)
 
-    (axis, eps, branch), upd["Ref"] = _apply(model.Ref, variables["Ref"], pyr,
-                                             train=train)
+    # FROZEN stages run in eval mode: (a) perf — eval serves the VN convs
+    # through the planes fast path and bf16 staging (the train-mode XLA
+    # composition exists for batch-stat exactness, which only the ACTIVE
+    # stage needs); (b) consistency — the reference's test composition
+    # loads each stage's OWN best.pth (ThreeDMatch/test.py:207-214), so a
+    # frozen module's batch-stat drift during later stages is discarded
+    # anyway; eval-mode forwards are exactly the function the final
+    # composition will run.  (The reference keeps torch train() globally —
+    # frozen modules there see batch statistics; a deliberate,
+    # measured-neutral deviation: convergence tests gate it.)
+    (axis, eps, branch), upd["Ref"] = _apply(
+        model.Ref, variables["Ref"], pyr, train=train and stage == "Ref")
     axis = orient_axes(axis, inputs.sds)
 
     m = sample_matches(k_match, inputs.sds[0], inputs.sds_mask[0],
                        inputs.sds[1], inputs.sds_mask[1], relt_pose,
                        cfg.data.voxel_size_0, cfg.train.pos_num,
-                       cfg.static.knn_chunk)
+                       cfg.static.knn_chunk, band=cfg.static.knn_band)
     src_axis = axis[0][m.src_idx]
     tgt_axis = axis[1][m.tgt_idx]
     src_kpt = inputs.sds[0][m.src_idx]
@@ -162,16 +196,18 @@ def _stage_loss(model, variables, stage, inputs, relt_pose, key,
                                     m.valid)
         return loss, {"ref_loss": loss, "ref_error": err}, upd
 
+    train_desc = train and stage == "Desc"
     vars_desc = {"params": variables["Desc"]["params"],
                  "batch_stats": upd["Desc"]}
     src, upd["Desc"] = _describe(model, vars_desc, cfg, k_s,
                                  inputs.raw[0], inputs.raw_mask[0],
-                                 src_kpt, src_axis, train, so2_aug=False)
+                                 src_kpt, src_axis, train_desc,
+                                 so2_aug=False)
     vars_desc = {"params": variables["Desc"]["params"],
                  "batch_stats": upd["Desc"]}
     tgt, upd["Desc"] = _describe(model, vars_desc, cfg, k_t,
                                  inputs.raw[1], inputs.raw_mask[1],
-                                 tgt_kpt, tgt_axis, train,
+                                 tgt_kpt, tgt_axis, train_desc,
                                  so2_aug=(stage == "Inlier"))
 
     if stage == "Desc":

@@ -173,3 +173,32 @@ def test_banded_nn1_matches_bruteforce():
     np.testing.assert_allclose(flip_d, true_d[~agree], rtol=2e-2)
     np.testing.assert_allclose(d, true_d, rtol=1e-2)
     assert sval[i].all()
+
+
+def test_nearest_common_morton_matches_bruteforce():
+    """Joint-Morton banded 1-NN (train-time match mining) vs brute force:
+    with a window covering typical rank skew, in-radius NNs must match."""
+    from buffer_tpu.ops.neighbors import nearest_common_morton
+    rs = np.random.RandomState(5)
+    Q, S = 700, 900
+    q = rs.randn(Q, 3).astype(np.float32)
+    s = np.concatenate([q[: S - 200] + rs.randn(S - 200, 3).astype(np.float32) * 0.01,
+                        rs.randn(200, 3).astype(np.float32) + 3.0]).astype(np.float32)
+    qv = np.ones(Q, bool); qv[-13:] = False
+    sv = np.ones(S, bool); sv[-7:] = False
+    d2, nn = jax.jit(lambda *a: nearest_common_morton(*a, band=256))(
+        jnp.asarray(q), jnp.asarray(qv), jnp.asarray(s), jnp.asarray(sv))
+    d2, nn = np.asarray(d2), np.asarray(nn)
+    full = ((q[:, None, :] - s[None, :, :]) ** 2).sum(-1)
+    full[:, ~sv] = 1e18
+    true_nn = full.argmin(1)
+    true_d = full.min(1)
+    # banded may miss distant NNs; every CLOSE pair (the consumer's radius
+    # regime) must be found exactly
+    close = qv & (true_d < 0.02 ** 2)
+    assert close.sum() > 400
+    np.testing.assert_array_equal(nn[close], true_nn[close])
+    # nearest_banded computes d2 in the expanded |q|^2+|s|^2-2qs form:
+    # absolute error ~ a few ulps of |q||s| (~1e-6 here), which dominates
+    # rtol at d2 ~ 1e-4; consumers only threshold at radius^2
+    np.testing.assert_allclose(d2[close], true_d[close], atol=5e-6)

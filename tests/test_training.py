@@ -112,10 +112,16 @@ def test_train_step_updates_only_active_stage(setup):
     r0 = jax.tree_util.tree_leaves(variables["Ref"]["params"])
     r1 = jax.tree_util.tree_leaves(new_vars["Ref"]["params"])
     assert all(np.array_equal(a, b) for a, b in zip(r0, r1))
-    # but Ref batch stats did update (whole-model train(), trainer.py:103)
+    # FROZEN stages run eval-mode (train_forward._stage_loss rationale):
+    # their batch stats must NOT drift — the test composition loads each
+    # stage's own snapshot, so drift would be discarded anyway.  The
+    # ACTIVE stage's stats DO update.
     s0 = jax.tree_util.tree_leaves(variables["Ref"]["batch_stats"])
     s1 = jax.tree_util.tree_leaves(new_vars["Ref"]["batch_stats"])
-    assert any(not np.allclose(a, b) for a, b in zip(s0, s1))
+    assert all(np.array_equal(a, b) for a, b in zip(s0, s1))
+    a0 = jax.tree_util.tree_leaves(variables["Desc"]["batch_stats"])
+    a1 = jax.tree_util.tree_leaves(new_vars["Desc"]["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(a0, a1))
 
 
 def test_dp_train_step_8_devices(setup):
