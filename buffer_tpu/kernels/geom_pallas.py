@@ -721,10 +721,11 @@ def banded_knn_tpu(
         out_shape=(out_k, out_k),
     )(qpad, ratio, tids, gx, gy, gz, gv)
 
-    keys = jnp.concatenate([k1[:Q], k2[:Q]], axis=1)          # [Q, 2*NSg]
-    neg, _ = lax.approx_max_k(-keys, k, recall_target=0.99,
-                              aggregate_to_topk=True)
-    ki = jax.lax.bitcast_convert_type(-neg, jnp.int32)
+    # stage B: exact top-k of the 2*NSg packed candidates per query via
+    # the knockout kernel (the old approx_max_k lowered to a full
+    # 256-column sort + a ~1 ms row-minor relayout copy + a negate)
+    top = topk_packed_tpu(k1[:Q], k2[:Q], k)                  # [Q, k]
+    ki = jax.lax.bitcast_convert_type(top, jnp.int32)
     idx = ki & 0xFFFF
     d = jax.lax.bitcast_convert_type(ki & ~0xFFFF, jnp.float32)
     valid = d < BIG / 2
@@ -753,6 +754,65 @@ def banded_win_rows(S: int, band: int, n_segs: int = 128) -> tuple:
     wr = _round_up(max(want, 16), 16)
     LW = min(wr, (NR // 16) * 16)
     return wr, LW >= NR
+
+
+def _topk_knockout_kernel(K_OUT, k1_ref, k2_ref, out_ref):
+    """Exact top-K_OUT smallest of the 2*NSg packed candidates per row by
+    K_OUT serial min+knockout steps over wide row tiles.
+
+    Replaces the XLA stage-B `approx_max_k` whose lowering was a FULL
+    256-column sort — plus a ~1 ms layout copy to the sort's row-minor
+    layout and a negate pass (the sort path wants max).  Here the rows
+    stay in the kernel-natural [rows, NSg] layout and the serial chain is
+    only K_OUT steps of full-width [QT, NSg] min-reduces (contrast the r2
+    negative result of knockout INSIDE _bknn_kernel at [16, 512] — tiny
+    vectors made ~500 dependent lane-reduces; at QT=512 each step is
+    64-vreg wide).  Packed keys are globally unique (support rank in the
+    low 16 bits), so `== m` knocks out exactly one candidate and the
+    emitted order is ascending distance with ascending-rank tie-break —
+    the same order the sort produced.  Output is lane-padded to 128 (the
+    Pallas output-block constraint); lanes >= K_OUT stay BIG."""
+    a = k1_ref[...]                              # [QT, NSg]
+    b = k2_ref[...]
+    QT = a.shape[0]
+    # ONE transpose so every knockout step reduces across SUBLANES with
+    # all 128 lanes busy (a lane-dim reduce per step was measured ~4x
+    # slower: per 8-row vreg it serializes 7 intra-lane shuffle-mins)
+    at = jnp.transpose(a, (1, 0))                # [NSg, QT]
+    bt = jnp.transpose(b, (1, 0))
+    sub = lax.broadcasted_iota(jnp.int32, (128, QT), 0)
+    out = jnp.full((128, QT), BIG, jnp.float32)
+    for j in range(K_OUT):
+        m = jnp.minimum(jnp.min(at, axis=0, keepdims=True),
+                        jnp.min(bt, axis=0, keepdims=True))  # [1, QT]
+        out = jnp.where(sub == j, m, out)
+        at = jnp.where(at == m, BIG, at)
+        bt = jnp.where(bt == m, BIG, bt)
+    out_ref[...] = out
+
+
+def topk_packed_tpu(k1: jnp.ndarray, k2: jnp.ndarray, k: int,
+                    row_tile: int = 512) -> jnp.ndarray:
+    """Top-k smallest packed keys per row from two [Q, NSg] candidate
+    fields.  Returns [Q, k] ascending (same contract as the sort-based
+    stage B; ties break toward the smaller packed index bits)."""
+    Q, NSg = k1.shape
+    Qp = _round_up(Q, row_tile)
+    if Qp != Q:
+        k1 = jnp.pad(k1, ((0, Qp - Q), (0, 0)), constant_values=BIG)
+        k2 = jnp.pad(k2, ((0, Qp - Q), (0, 0)), constant_values=BIG)
+    out = pl.pallas_call(
+        functools.partial(_topk_knockout_kernel, k),
+        grid=(Qp // row_tile,),
+        in_specs=[pl.BlockSpec((row_tile, NSg), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((row_tile, NSg), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((128, row_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((128, Qp), jnp.float32),
+    )(k1, k2)
+    return jnp.transpose(out[:k, :Q], (1, 0))
 
 
 # ---------------------------------------------------------------------------

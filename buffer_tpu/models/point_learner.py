@@ -58,10 +58,10 @@ class Pyramid(NamedTuple):
     upsamples: Tuple[jnp.ndarray, ...]       # [B, N_l] int32 (into level l+1)
     upsample_valid: Tuple[jnp.ndarray, ...]  # [B, N_l] bool
     features: jnp.ndarray                    # [B, N_0, 3] input normals
-    # optional: level-0 neighbor-minus-query offsets straight from the
-    # banded-kNN kernel's VMEM window (masked to 0 at invalid slots) — lets
-    # the first conv skip its coordinate gather (pipeline/pyramid.py)
-    l0_off: Optional[jnp.ndarray] = None     # [B, N_0, K_0, 3]
+    # optional: level-0 neighbor-minus-query offsets from the shared
+    # pyramid gather (masked to 0 at invalid slots), in COMPONENT PLANES —
+    # lets the first conv skip its coordinate gather (pipeline/pyramid.py)
+    l0_off: Optional[jnp.ndarray] = None     # [3, B, N_0, K_0]
 
 
 def _bgather(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -78,6 +78,7 @@ def gather_neighborhood(
     pack: Optional[bool] = None,
     offsets: Optional[jnp.ndarray] = None,
     eval_bf16: bool = False,
+    planes_out: bool = False,
 ):
     """Gather neighbor features and scale-normalized centered offsets.
 
@@ -108,17 +109,23 @@ def gather_neighborhood(
     Ns = s_pts.shape[1]
     idx = jnp.where(valid, idx, Ns)
     if offsets is not None:
-        # neighbor offsets already from the shared pyramid gather
-        # (pre-masked to 0): only the features need a gather.  At eval the
-        # conv consumes everything through single-pass bf16 matmuls
-        # (nn/vn.vnn_block_planes), so staging eqv/features bf16 HERE adds
-        # no new noise class and halves the [2M, 3] component-planes
-        # transposes the gather output otherwise pays in f32.
+        # neighbor offsets already from the shared pyramid gather, in
+        # COMPONENT PLANES [3, B, Nq, K] (pre-masked to 0): only the
+        # features need a gather.  At eval the conv consumes everything
+        # through single-pass bf16 planes matmuls (nn/vn.vnn_block_planes),
+        # so the gather emits planes too (the transpose fuses into it —
+        # the 40x-padded row-major [2M, 3] never hits HBM) and staging
+        # bf16 HERE adds no new noise class.  The train/XLA path
+        # interleaves back to [B, Nq, K, C*3] (one relayout).
         stage_t = jnp.bfloat16 if eval_bf16 else s_feat.dtype
         feat = jnp.concatenate(
             [s_feat, jnp.zeros_like(s_feat[:, :8])], axis=1).astype(stage_t)
-        nbr_f = _bgather(feat, idx)
-        return nbr_f, (offsets / scale).astype(stage_t)
+        if planes_out:
+            from buffer_tpu.ops.neighbors import gather_rows_planes
+            nbr_fp = gather_rows_planes(feat, idx)       # [C3, B, Nq, K]
+            return nbr_fp, (offsets / scale).astype(stage_t)
+        nbr_f = _bgather(feat, idx)                      # [B, Nq, K, C3]
+        return nbr_f, jnp.moveaxis(offsets / scale, 0, -1).astype(stage_t)
     if pack:
         nbr_xyz, nbr_f = gather_coord_feat_bf16(s_pts, s_feat, idx)
     else:
@@ -162,14 +169,39 @@ class VNNConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, q_pts, q_mask, s_pts, idx, valid, train=False,
                  offsets=None):
+        eval_bf16 = (not train and jax.default_backend() == "tpu"
+                     and not flags.EXACT_F32)
+        conv = VNLinearLeakyReLUFlat(self.out_dim, reduce_k=True, name="conv")
+        bn_mask = jnp.broadcast_to(q_mask[:, :, None], idx.shape)
+        use_pre = (offsets is not None and self.mode == "6"
+                   and not train and not self.is_initializing()
+                   and jax.default_backend() == "tpu")
+        if use_pre:
+            # stay in component planes end to end: the feature gather
+            # emits [3, B, Nq, K] planes (fused transpose), the mode-'6'
+            # channels (cross, mean) are plane arithmetic, and the conv
+            # consumes [3, M, K*1] blocks directly — no interleaved
+            # [.., K, 3] tensor (whose 128-lane tile padding is 40x) ever
+            # materializes.
+            nf, eq = gather_neighborhood(
+                s_pts, x, q_pts, idx, valid, self.scale, offsets=offsets,
+                eval_bf16=eval_bf16, planes_out=True)    # [3, B, Nq, K] x2
+            _, B, Nq, K = nf.shape
+            n = nf.reshape(3, B * Nq, K)
+            e = eq.reshape(3, B * Nq, K)
+            cros = jnp.stack([n[1] * e[2] - n[2] * e[1],
+                              n[2] * e[0] - n[0] * e[2],
+                              n[0] * e[1] - n[1] * e[0]])
+            mean = jnp.broadcast_to(
+                jnp.mean(e, axis=2, keepdims=True), e.shape)
+            pre = ((n, 1), (e, 1), (cros, 1), (mean, 1))
+            return conv(None, mask=bn_mask, train=False,
+                        pre_planes=pre, out_bn=(B, Nq))  # [B,Nq,out*3]
         neighb_x, eqv = gather_neighborhood(
             s_pts, x, q_pts, idx, valid, self.scale, offsets=offsets,
-            eval_bf16=(not train and jax.default_backend() == "tpu"
-                       and not flags.EXACT_F32))
+            eval_bf16=eval_bf16)
         inp = _vnn_input(neighb_x, eqv, self.mode)
-        bn_mask = jnp.broadcast_to(q_mask[:, :, None], idx.shape)
-        return VNLinearLeakyReLUFlat(self.out_dim, reduce_k=True, name="conv")(
-            inp, mask=bn_mask, train=train)              # [B,Nq,out*3]
+        return conv(inp, mask=bn_mask, train=train)      # [B,Nq,out*3]
 
 
 class VNNResnetBlock(nn.Module):

@@ -281,12 +281,15 @@ def _blockdiag(K: int, W: jnp.ndarray) -> jnp.ndarray:
 
 def vnn_block_planes(
     x,                         # [M, K, Cin*3] flat input, or a tuple of
-                               # such parts (channel-concatenated logically)
+                               # such parts (channel-concatenated logically);
+                               # with pre=True: ((xp [3, M, K*ci], ci), ...)
+                               # already in planes layout (no transpose here)
     Wf: jnp.ndarray,           # [Cin, Cout]
     Wd: jnp.ndarray,           # [Cin, Cout]
     bn_a: jnp.ndarray,         # [Cout] folded BN scale (ones if no BN)
     bn_b: jnp.ndarray,         # [Cout] folded BN shift (zeros if no BN)
     negative_slope: float = 0.2,
+    pre: bool = False,
 ) -> jnp.ndarray:
     """Fused eval-mode VNLinearLeakyReLU + mean-over-K in a component-planes
     layout.  Returns [M, Cout*3].
@@ -317,17 +320,24 @@ def vnn_block_planes(
     record of that experiment.
     """
     parts = x if isinstance(x, (tuple, list)) else (x,)
-    M, K, _ = parts[0].shape
+    if pre:
+        M = parts[0][0].shape[1]
+        K = parts[0][0].shape[2] // parts[0][1]
+    else:
+        M, K, _ = parts[0].shape
     cout = Wf.shape[1]
 
     p = None
     d = None
     row = 0
     for part in parts:
-        ci = part.shape[-1] // 3
-        # [M, K, ci, 3] -> [3, M, K*ci]: one physical transpose per part
-        xp = jnp.moveaxis(part.reshape(M, K, ci, 3), -1, 0).reshape(
-            3, M, K * ci)
+        if pre:
+            xp, ci = part                   # [3, M, K*ci], pre-planed
+        else:
+            ci = part.shape[-1] // 3
+            # [M, K, ci, 3] -> [3, M, K*ci]: one physical transpose/part
+            xp = jnp.moveaxis(part.reshape(M, K, ci, 3), -1, 0).reshape(
+                3, M, K * ci)
         WfB = _blockdiag(K, Wf[row:row + ci])
         WdB = _blockdiag(K, Wd[row:row + ci])
         # Single-pass bf16 inputs with f32 MXU accumulation (TPU only; on
@@ -410,8 +420,14 @@ class VNLinearLeakyReLUFlat(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
-                 train: bool = False) -> jnp.ndarray:
-        if isinstance(x, (tuple, list)):
+                 train: bool = False, pre_planes=None,
+                 out_bn: Optional[tuple] = None) -> jnp.ndarray:
+        if pre_planes is not None:
+            # parts arrive PRE-PLANED: ((xp [3, M, K*ci], ci), ...) — the
+            # caller built them straight from a fused gather+transpose
+            # (VNNConvBlock planes path); no interleaved tensor exists.
+            cin = sum(ci for _, ci in pre_planes)
+        elif isinstance(x, (tuple, list)):
             cin = sum(p.shape[-1] for p in x) // 3
         else:
             cin = x.shape[-1] // 3
@@ -420,6 +436,12 @@ class VNLinearLeakyReLUFlat(nn.Module):
         Wd = _Kernel((cin, cout), name="map_to_dir")()
         bn = VNBatchNormFlat(cout, name="batchnorm")
 
+        if pre_planes is not None:
+            a, b = bn(None, fold_eval=True)
+            out = vnn_block_planes(pre_planes, Wf, Wd, a, b,
+                                   self.negative_slope, pre=True)
+            B, N = out_bn
+            return out.reshape(B, N, cout * 3)
         use_planes = ((not train) and not self.is_initializing()
                       and self.impl != "xla" and self.reduce_k)
         if use_planes:

@@ -198,18 +198,19 @@ def normals_from_offsets(
     eigensolve stay as six scalar arrays end to end (no [..., 3, 3]
     tensors, no einsum transposes).
 
-    points [B, N, 3]; valid [B, N]; off [B, N, k, 3]; nvalid [B, N, k]."""
+    points [B, N, 3]; valid [B, N]; off COMPONENT PLANES [3, B, N, k]
+    (the layout the fused gather+transpose emits); nvalid [B, N, k]."""
     w = nvalid.astype(points.dtype)
     cnt = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
-    dx = off[..., 0] * w
-    dy = off[..., 1] * w
-    dz = off[..., 2] * w
+    dx = off[0] * w
+    dy = off[1] * w
+    dz = off[2] * w
     mx = jnp.sum(dx, axis=-1) / cnt
     my = jnp.sum(dy, axis=-1) / cnt
     mz = jnp.sum(dz, axis=-1) / cnt
-    dx = (off[..., 0] - mx[..., None]) * w
-    dy = (off[..., 1] - my[..., None]) * w
-    dz = (off[..., 2] - mz[..., None]) * w
+    dx = (off[0] - mx[..., None]) * w
+    dy = (off[1] - my[..., None]) * w
+    dz = (off[2] - mz[..., None]) * w
     cxx = jnp.sum(dx * dx, axis=-1)
     cyy = jnp.sum(dy * dy, axis=-1)
     czz = jnp.sum(dz * dz, axis=-1)

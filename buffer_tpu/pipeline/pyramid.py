@@ -67,17 +67,22 @@ def build_pyramid_and_normals(cfg: Config, points: jnp.ndarray,
         # 87 -> 151 ms/pair — the extraction chain is fully serial on tiny
         # vectors and the VPU crawls through ~500 dependent lane-reduce
         # ops per tile.  XLA's batched sort is the better tool there.
-        from buffer_tpu.ops.neighbors import gather_rows
+        from buffer_tpu.ops.neighbors import gather_rows_planes
         idxc = jnp.minimum(idx, points.shape[1] - 1)
         # offsets stay f32: a bf16 experiment (r2) saved 0.8 ms but the
         # normals noise cost ~4% of mutual matches (593 -> 567) — the
         # covariance eigenvector is the one offsets consumer that is NOT
-        # bf16-bound (the eqv path casts to bf16 later on its own)
-        off = gather_rows(points, idxc) - points[:, :, None, :]
+        # bf16-bound (the eqv path casts to bf16 later on its own).
+        # COMPONENT-PLANES layout [3, B, N, k]: the transpose fuses into
+        # the gather, so the 630 MB tile-padded [2M, 3] row-major output
+        # (and the ~1.2 ms of relayout copies every consumer paid to read
+        # it) never exists.
+        off = (gather_rows_planes(points, idxc)
+               - jnp.moveaxis(points, -1, 0)[:, :, :, None])
         normals = normals_from_offsets(points, masks,
-                                       off[..., : st.normal_knn, :],
+                                       off[..., : st.normal_knn],
                                        v[..., : st.normal_knn])
-        l0_off = off[..., :kc, :]
+        l0_off = off[..., :kc]
     else:
         # batched flat-gather normals (outside the vmap: the vmapped gather
         # form is ~2.4x slower on TPU); kept as the CPU path so the golden
@@ -92,7 +97,7 @@ def build_pyramid_and_normals(cfg: Config, points: jnp.ndarray,
                          levels=levels)
     if l0_off is not None:
         pyr = pyr._replace(
-            l0_off=jnp.where(valid0[..., None], l0_off, 0.0))
+            l0_off=jnp.where(valid0[None], l0_off, 0.0))
     return pyr
 
 

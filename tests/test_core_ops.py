@@ -260,7 +260,8 @@ class TestOffsetsPyramidPath:
         cos = (a * b).sum(-1)
         assert (cos > 1 - 1e-5).all(), cos.min()
         # l0_off must equal gathered neighbor - query at valid slots
-        off = np.asarray(got.l0_off)
+        # (it travels as component planes [3, B, N, K])
+        off = np.moveaxis(np.asarray(got.l0_off), 0, -1)
         idx = np.asarray(ref.neighbors[0])
         v = np.asarray(ref.neighbor_valid[0])
         p = np.asarray(pts)
