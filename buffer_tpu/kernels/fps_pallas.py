@@ -85,3 +85,91 @@ def fps_pallas(points: jnp.ndarray, eligible: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((R, LANES), points.dtype)],
     )(pts_t, elig)
     return out[:, 0]
+
+
+def _fps_kernel_batched(num_samples, B, x_ref, y_ref, z_ref, elig_ref,
+                        out_ref, mind_ref):
+    """FPS over B independent clouds in ONE kernel body: the per-iteration
+    serial chain (coord extraction -> distance update -> argmax) of each
+    cloud is independent, so batching the fields interleaves the chains —
+    roughly half the wall-clock at B=2 vs the vmapped single-cloud kernel,
+    which lowers to B sequential grid steps.
+
+    Clouds are folded into the ROW dim (rows [b*R, (b+1)*R) = cloud b; the
+    2-D refs + transient 3-D reshapes are the shapes Mosaic handles well —
+    a 4-D [B, 3, R, L] block form SIGABRTed the compiler).
+
+    x/y/z/elig_ref [B*R, L]; out_ref [S, B]; mind_ref scratch [B*R, L]."""
+    x = x_ref[...]
+    y = y_ref[...]
+    z = z_ref[...]
+    elig = elig_ref[...]
+    BR, L = elig.shape
+    R = BR // B
+    # per-cloud local flat index of each slot
+    iota = (lax.broadcasted_iota(jnp.int32, (R, L), 0) * L
+            + lax.broadcasted_iota(jnp.int32, (R, L), 1))
+    iotaB = jnp.broadcast_to(iota[None], (B, R, L)).reshape(BR, L)
+
+    mind_ref[...] = jnp.where(elig > 0, BIG, -1.0)
+
+    def red2(f, fn):
+        """two chained single-axis reduces (a fused (1,2)-axis reduce and
+        rank-1 results both trip Mosaic layout checks): [B,R,L] -> [B,1]."""
+        return fn(fn(f, 1), 1, keepdims=True)
+
+    def argmax2(f):
+        """first (lowest-local-index) argmax per cloud: [B*R, L] -> [B, 1]."""
+        f3 = f.reshape(B, R, L)
+        m = red2(f3, jnp.max)                            # [B, 1]
+        hit = f3 == m[:, :, None]
+        w = jnp.where(hit, iota[None], jnp.int32(1 << 30))
+        return red2(w, jnp.min).astype(jnp.int32)
+
+    def bcast(v):
+        """[B, 1] -> [B*R, L] per-cloud broadcast."""
+        return jnp.broadcast_to(v[:, :, None], (B, R, L)).reshape(BR, L)
+
+    first = argmax2(elig)
+    out_ref[pl.ds(0, 1), :] = jnp.transpose(first, (1, 0))
+
+    def body(m, cur):
+        onehot = (iotaB == bcast(cur)).astype(x.dtype)
+
+        def csum(t):
+            return bcast(red2(t.reshape(B, R, L), jnp.sum))
+
+        cx = csum(x * onehot)
+        cy = csum(y * onehot)
+        cz = csum(z * onehot)
+        d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+        mind = jnp.minimum(mind_ref[...], jnp.where(elig > 0, d, -1.0))
+        mind_ref[...] = mind
+        nxt = argmax2(mind)
+        out_ref[pl.ds(m, 1), :] = jnp.transpose(nxt, (1, 0))
+        return nxt
+
+    lax.fori_loop(1, num_samples, body, first)
+
+
+def fps_pallas_batched(points: jnp.ndarray, eligible: jnp.ndarray,
+                       num_samples: int) -> jnp.ndarray:
+    """points: [B, N, 3]; eligible: [B, N] bool -> idx [B, num_samples]."""
+    B, N, _ = points.shape
+    block = SUBLANES * LANES
+    pad = (-N) % block
+    P = N + pad
+    R = P // LANES
+    pts = jnp.pad(points, ((0, 0), (0, pad), (0, 0)))
+    grids = pts.reshape(B * R, LANES, 3)
+    elig = jnp.pad(eligible.astype(points.dtype),
+                   ((0, 0), (0, pad))).reshape(B * R, LANES)
+
+    out = pl.pallas_call(
+        functools.partial(_fps_kernel_batched, num_samples, B),
+        out_shape=jax.ShapeDtypeStruct((num_samples, B), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B * R, LANES), points.dtype)],
+    )(grids[..., 0], grids[..., 1], grids[..., 2], elig)
+    return out.T

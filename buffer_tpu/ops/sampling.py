@@ -61,3 +61,28 @@ def farthest_point_sample(
     idxs0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(first)
     _, idxs = lax.fori_loop(1, num_samples, body, (init_mind, idxs0))
     return idxs, valid_out
+
+
+def farthest_point_sample_batched(
+    points: jnp.ndarray,
+    eligible: jnp.ndarray,
+    num_samples: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`farthest_point_sample` over a leading cloud axis.
+
+    points [B, N, 3]; eligible [B, N] -> (idx [B, S], valid [B, S]).
+    On TPU the B clouds run INSIDE one Pallas kernel body (batched
+    fields), interleaving the per-iteration serial chains — ~2x faster at
+    B=2 than the vmapped single-cloud kernel, which lowers to B
+    sequential grid steps.  Elsewhere it is exactly the vmapped XLA path.
+    """
+    import jax as _jax
+    n_eligible = jnp.sum(eligible.astype(jnp.int32), axis=1)
+    valid_out = jnp.arange(num_samples)[None, :] < n_eligible[:, None]
+    if _jax.default_backend() == "tpu":
+        from buffer_tpu.kernels.fps_pallas import fps_pallas_batched
+        return fps_pallas_batched(points, eligible, num_samples), valid_out
+    idx, _ = _jax.vmap(
+        lambda p, e: farthest_point_sample(p, e, num_samples))(
+            points, eligible)
+    return idx, valid_out

@@ -195,10 +195,11 @@ def _register_pair(model: BufferModel, variables: Dict[str, dict],
     axis = orient_axes(axis, inputs.sds)                     # [2, S0, 3]
     score = model.Keypt.apply(variables["Keypt"], pyr, branch)[..., 0]
 
-    # 3. detector threshold + FPS (models/BUFFER.py:255-271)
+    # 3. detector threshold + FPS (models/BUFFER.py:255-271); both clouds
+    # run inside ONE kernel body (interleaved serial chains)
+    from buffer_tpu.ops.sampling import farthest_point_sample_batched
     eligible = inputs.sds_mask & (score > cfg.point.keypts_th)
-    kidx, kvalid = jax.vmap(lambda p, e: farthest_point_sample(p, e, K))(
-        inputs.sds, eligible)
+    kidx, kvalid = farthest_point_sample_batched(inputs.sds, eligible, K)
     kpts = jnp.take_along_axis(inputs.sds, kidx[..., None], axis=1)
     kaxes = jnp.take_along_axis(axis, kidx[..., None], axis=1)
 

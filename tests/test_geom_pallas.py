@@ -202,3 +202,22 @@ def test_nearest_common_morton_matches_bruteforce():
     # absolute error ~ a few ulps of |q||s| (~1e-6 here), which dominates
     # rtol at d2 ~ 1e-4; consumers only threshold at radius^2
     np.testing.assert_allclose(d2[close], true_d[close], atol=5e-6)
+
+
+def test_fps_batched_matches_single(monkeypatch):
+    """Batched in-kernel FPS (both clouds in one body) must reproduce the
+    single-cloud kernel's selections exactly."""
+    import functools
+    import buffer_tpu.kernels.fps_pallas as fp
+    monkeypatch.setattr(fp.pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    rs = np.random.RandomState(7)
+    B, N, S = 2, 1024, 40
+    pts = rs.randn(B, N, 3).astype(np.float32)
+    elig = rs.rand(B, N) > 0.3
+    got = np.asarray(fp.fps_pallas_batched(
+        jnp.asarray(pts), jnp.asarray(elig), S))
+    for b in range(B):
+        want = np.asarray(fp.fps_pallas(
+            jnp.asarray(pts[b]), jnp.asarray(elig[b]), S))
+        np.testing.assert_array_equal(got[b], want)
