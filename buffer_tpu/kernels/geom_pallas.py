@@ -632,10 +632,11 @@ def banded_knn_tpu(
                                  # half-width is win_rows*n_segs/2; callers
                                  # derive win_rows from their band via
                                  # banded_win_rows()
-    q_tile: int = 16,            # 16 amortizes the [LW, NSg] window loads
-                                 # over 2x the queries vs 8 (the window is
-                                 # ~2x the tile's output volume; 32 measured
-                                 # neutral and doubles VMEM)
+    q_tile: int = 32,            # amortizes the [LW, NSg] window loads
+                                 # over more queries; 32 was neutral under
+                                 # the old sort-based stage B but is
+                                 # -0.5 ms/pair with the knockout stage B
+                                 # (r4); VMEM is ~2 MB/tile
     win_rows: int = 64,          # 64 x 128 = 8192 ranks (+-4096): full
                                  # original coverage; 48 (+-3072) saved a
                                  # further 1 ms at one lost quality-gate
