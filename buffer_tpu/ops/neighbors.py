@@ -554,8 +554,11 @@ def gather_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     flat = arr.reshape(B * N, arr.shape[-1])
     off = (jnp.arange(B, dtype=idx.dtype) * N).reshape(
         (B,) + (1,) * (idx.ndim - 1))
-    out = jnp.take(flat, (idx + off).reshape(-1), axis=0)
-    return out.reshape(*idx.shape, arr.shape[-1])
+    # multi-dim index operand: the gather then WRITES the final
+    # [B, ..., D] tiled layout directly; taking with flattened indices
+    # left a [rows, D] intermediate whose retiling reshape cost
+    # ~0.7 ms/pair per level-1/2 conv gather
+    return jnp.take(flat, idx + off, axis=0)
 
 
 def gather_rows_planes(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -200,23 +200,28 @@ def normals_from_offsets(
 
     points [B, N, 3]; valid [B, N]; off COMPONENT PLANES [3, B, N, k]
     (the layout the fused gather+transpose emits); nvalid [B, N, k]."""
+    # ONE pass over the [B, N, k] planes: cov = E[xx^T] - m m^T cnt (the
+    # sum form of mean-centering; exact for 0/1 weights since w^2 = w).
+    # The two-pass form re-read all three planes after materializing
+    # [B, N, 1] means whose 1-lane rows tile-pad 128x (31 MB each at the
+    # level-0 shape) — the trailing-1 broadcasts and their relayout
+    # copies were ~1.5 ms/pair of the normals stage.  Offsets are already
+    # query-centered (|off| <= r), so the subtraction loses no precision.
     w = nvalid.astype(points.dtype)
     cnt = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
-    dx = off[0] * w
-    dy = off[1] * w
-    dz = off[2] * w
-    mx = jnp.sum(dx, axis=-1) / cnt
-    my = jnp.sum(dy, axis=-1) / cnt
-    mz = jnp.sum(dz, axis=-1) / cnt
-    dx = (off[0] - mx[..., None]) * w
-    dy = (off[1] - my[..., None]) * w
-    dz = (off[2] - mz[..., None]) * w
-    cxx = jnp.sum(dx * dx, axis=-1)
-    cyy = jnp.sum(dy * dy, axis=-1)
-    czz = jnp.sum(dz * dz, axis=-1)
-    cxy = jnp.sum(dx * dy, axis=-1)
-    cxz = jnp.sum(dx * dz, axis=-1)
-    cyz = jnp.sum(dy * dz, axis=-1)
+    wx = off[0] * w
+    wy = off[1] * w
+    wz = off[2] * w
+    sx = jnp.sum(wx, axis=-1)
+    sy = jnp.sum(wy, axis=-1)
+    sz = jnp.sum(wz, axis=-1)
+    inv = 1.0 / cnt
+    cxx = jnp.sum(wx * off[0], axis=-1) - sx * sx * inv
+    cyy = jnp.sum(wy * off[1], axis=-1) - sy * sy * inv
+    czz = jnp.sum(wz * off[2], axis=-1) - sz * sz * inv
+    cxy = jnp.sum(wx * off[1], axis=-1) - sx * sy * inv
+    cxz = jnp.sum(wx * off[2], axis=-1) - sx * sz * inv
+    cyz = jnp.sum(wy * off[2], axis=-1) - sy * sz * inv
     vx, vy, vz = smallest_eigvec_sym3_components(cxx, cyy, czz, cxy, cxz, cyz)
     vp = jnp.zeros((3,), points.dtype) if viewpoint is None else viewpoint
     flip = (vx * (vp[0] - points[..., 0]) + vy * (vp[1] - points[..., 1])
