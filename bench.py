@@ -72,6 +72,10 @@ def main():
     ap.add_argument("--batch", type=int, default=None,
                     help="pairs registered per step (vmap); default: the "
                          "config's static.pair_batch")
+    ap.add_argument("--unroll", type=int, default=None,
+                    help="independent pairs statically unrolled per step "
+                         "(XLA interleaves the chains); default: the "
+                         "config's static.pair_unroll")
     # static-plan experiment knobs (perf tuning; defaults = the preset)
     ap.add_argument("--caps", type=int, default=None,
                     help="override neighbor/pool caps (all levels)")
@@ -135,13 +139,16 @@ def main():
     import jax.numpy as jnp
 
     P = args.batch if args.batch else getattr(cfg.static, "pair_batch", 1)
+    U = (args.unroll if args.unroll
+         else (getattr(cfg.static, "pair_unroll", 1) if P == 1 else 1))
+    PU = P * U
     binputs = jax.tree_util.tree_map(
         lambda x: jnp.stack([x] * P), inputs)      # [P, 2, ...]
 
     def run_n(n):
         def f(variables, binputs, key):
             def body(c, inp):
-                ks, i = inp                        # ks: [P] keys
+                ks, i = inp                        # ks: [P*U] keys
                 # perturb every point input per iteration: without this,
                 # XLA hoists the (loop-invariant) pyramid/EFCNN work out of
                 # the scan and the bench overstates throughput
@@ -151,16 +158,35 @@ def main():
                     lvl1=binputs.lvl1 + eps, lvl2=binputs.lvl2 + eps)
                 if P == 1:
                     # NOT a vmap over a singleton axis: the leading unit
-                    # dim re-layouts every op and costs ~28 ms/pair
-                    one = jax.tree_util.tree_map(lambda x: x[0], jogged)
-                    r = register_pair(model, variables, one, ks[0])
-                    return c, (r.pose, r.num_mutual)
+                    # dim re-layouts every op and costs ~28 ms/pair.
+                    # U independent statically-unrolled pairs per step:
+                    # XLA interleaves the chains (39.6 -> 26.2 ms/pair at
+                    # U=2; see StaticConfig.pair_unroll)
+                    poses = []
+                    nms = []
+                    for u in range(U):
+                        one = jax.tree_util.tree_map(lambda x: x[0], jogged)
+                        # EVERY point input must differ per unrolled pair,
+                        # not just raw: shared sds/lvl would let XLA CSE
+                        # the whole pyramid+EFCNN across the U chains and
+                        # overstate throughput ~35%
+                        ue = jnp.float32((u + 1) * 1e-12)
+                        one = one._replace(
+                            raw=one.raw + ue, sds=one.sds + ue,
+                            lvl1=one.lvl1 + ue, lvl2=one.lvl2 + ue)
+                        r = register_pair(model, variables, one, ks[u])
+                        poses.append(r.pose)
+                        nms.append(r.num_mutual)
+                    # EVERY pair's outputs must be consumed — returning
+                    # only pair 0 lets XLA dead-code-eliminate the other
+                    # U-1 registrations wholesale (measured: a fake 3x)
+                    return c, (jnp.stack(poses), jnp.stack(nms))
                 r = jax.vmap(
                     lambda bi, k: register_pair(model, variables, bi, k)
                 )(jogged, ks)
                 return c, (r.pose[0], r.num_mutual[0])
             _, (poses, nm) = jax.lax.scan(
-                body, 0, (jax.random.split(key, (n, P)), jnp.arange(n)))
+                body, 0, (jax.random.split(key, (n, PU)), jnp.arange(n)))
             return poses, nm
         return jax.jit(f)
 
@@ -184,10 +210,12 @@ def main():
 
     t_lo, _ = sync(f_lo)
     t_hi, out = sync(f_hi)
-    dt = (t_hi - t_lo) / (n_hi - n_lo) / P
+    dt = (t_hi - t_lo) / (n_hi - n_lo) / PU
     pairs_per_sec = 1.0 / dt
 
     poses, nmut = np.asarray(out[0]), np.asarray(out[1])
+    if poses.ndim == 4:          # unrolled: [n, U, 4, 4]
+        poses, nmut = poses[:, 0], nmut[:, 0]
 
     class Res:
         pose = poses[-1]
@@ -218,6 +246,7 @@ def main():
             "size": args.size,
             "config": args.config,
             "pair_batch": P,
+            "pair_unroll": U,
         },
     }))
     return 0

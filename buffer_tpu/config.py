@@ -194,6 +194,23 @@ class StaticConfig:
     # P=4).  Multi-pair throughput scales across chips via DP
     # (eval/harness.make_dp_register) instead.
     pair_batch: int = 1
+    # pairs registered per jitted step by STATIC UNROLL — U independent
+    # ``register_pair`` traces in one XLA program (NOT a vmap: each pair
+    # keeps its optimal single-pair layouts).  HONEST WIN IS MODEST:
+    # 40.5 -> 38.8 ms/pair at U=3 on the 3DMatch plan (r5).  The v5e has
+    # ONE TensorCore, so kernels/fusions of the U chains still execute
+    # strictly sequentially; interleaving only overlaps DMA latency with
+    # the other chain's compute.  (Apparent 2-3x wins in early r5
+    # measurements were artifacts: shared-input CSE across chains, then
+    # dead-code elimination of unconsumed chains — both documented in
+    # bench.py.  The r3 vmap experiment, pair_batch above, LOSES
+    # throughput because vmap re-layouts every op.)  U=4's XLA compile
+    # went superlinear (>25 min vs ~80 s) and was abandoned — the same
+    # pathology class as the KITTI-plan compile.  Used by the
+    # single-device eval harness (pairs stream in groups of U) and
+    # bench.py; per-pair results match U=1 behaviorally (same trace per
+    # pair; fusion boundaries may round a few ulps differently).
+    pair_unroll: int = 3
 
 
 @dataclass(frozen=True)
@@ -251,8 +268,11 @@ def kitti_cfg() -> Config:
         # points_l1 20480 (not l0/2.5): 40k LiDAR sds points at the 0.6 m
         # level-1 cell measure ~17-19k survivors on synthetic street
         # scenes — 16384 silently truncated level 1
+        # pair_unroll=1: the KITTI plan's XLA compile is already
+        # superlinear (265 s at U=1, BENCH_KITTI_r04); a U=3 program
+        # multiplies it past any practical budget for a ~4% win
         static=StaticConfig(points_l0=40960, points_l1=20480, points_l2=6144,
-                            raw_points=131072),
+                            raw_points=131072, pair_unroll=1),
     )
 
 

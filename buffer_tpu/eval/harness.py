@@ -97,7 +97,17 @@ def run_eval(
         mesh = Mesh(np.array(jax.devices()), ("dp",))
         dp_fn = make_dp_register(model, mesh)
     else:
-        fn = jax.jit(lambda v, i, k: register_pair(model, v, i, k))
+        # single device: register U independent pairs per XLA program
+        # (static unroll — XLA interleaves the chains and hides each
+        # pair's serial tails; see make_unrolled_register_fn).  Per-pair
+        # results are identical to one-at-a-time registration.
+        U = max(1, int(getattr(cfg.static, "pair_unroll", 1))) if n > 1 else 1
+        if U > 1:
+            from buffer_tpu.pipeline.registration import (
+                make_unrolled_register_fn)
+            un_fn = make_unrolled_register_fn(model, U)
+        else:
+            fn = jax.jit(lambda v, i, k: register_pair(model, v, i, k))
 
     data_timer, model_timer = Timer(), Timer()
     states = []
@@ -147,11 +157,35 @@ def run_eval(
         import jax.numpy as jnp
         return jnp.stack(xs)
 
+    def flush_unrolled():
+        nonlocal key
+        if not pending:
+            return
+        batch = pending[:]
+        while len(batch) < U:       # pad the tail batch: results discarded
+            batch.append(batch[-1])
+        binputs = jax.tree_util.tree_map(
+            lambda *xs: jnp_stack(xs), *[b[2] for b in batch])
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, U)
+        model_timer.tic()
+        res = jax.block_until_ready(un_fn(variables, binputs, keys))
+        model_timer.toc()
+        poses = np.asarray(res.pose)
+        nmut = np.asarray(res.num_mutual)
+        for j, (i, item, _) in enumerate(pending):
+            record(i, item, poses[j], nmut[j])
+        pending.clear()
+
     for i, item, inputs in _prefetch(cfg, dataset, n, rs, data_timer):
         if use_dp:
             pending.append((i, item, inputs))
             if len(pending) == D:
                 flush_dp()
+        elif U > 1:
+            pending.append((i, item, inputs))
+            if len(pending) == U:
+                flush_unrolled()
         else:
             model_timer.tic()
             key, sub = jax.random.split(key)
@@ -160,11 +194,15 @@ def run_eval(
             record(i, item, res.pose, res.num_mutual)
     if use_dp:
         flush_dp()
+    elif U > 1:
+        flush_unrolled()
 
     states = np.array(states)
     out = metrics.dgr_recall(states)
     out["data_time"] = data_timer.avg
-    out["model_time"] = model_timer.avg
+    # unrolled steps register U pairs per timed dispatch: report per-pair
+    out["model_time"] = model_timer.avg / (
+        U if (not use_dp and U > 1) else 1)
     out["pairs"] = len(states)
 
     if log_dir is not None:

@@ -414,7 +414,8 @@ def _spt_kernel(S, A, NSEG, NUSE, Kt, r2, bx_ref, by_ref, bz_ref, Rt_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("rad_n", "azi_n", "ele_n",
-                                              "voxel_r", "voxel_sample"))
+                                              "voxel_r", "voxel_sample",
+                                              "k_tile"))
 def spt_pooled_tpu(
     W_all: jnp.ndarray,          # [AZ, 3, 16] derotated folded MLP weights
     b_eff: jnp.ndarray,          # [16]
@@ -426,6 +427,13 @@ def spt_pooled_tpu(
     voxel_r: float, voxel_sample: int,
     R: jnp.ndarray = None,       # [K, 3, 3] per-patch alignment (None = I)
     delta_planes: tuple = None,  # (x, y, z) [K, S] planes alternative
+    k_tile: int = 32,            # keypoints per grid step (lane dim of the
+                                 # pre-blocked planes).  r5 sweep at the
+                                 # 3DMatch shape (K=3000, S_eff=320):
+                                 # 8 -> 3.56 ms, 16 -> 3.95, 32 -> 0.88,
+                                 # 64 slower again — 94 grid steps amortize
+                                 # the per-step anchor prep and pipeline
+                                 # far better; output bit-identical
 ) -> jnp.ndarray:
     """Fused sampled-SPT + point-MLP + sample-max descriptor front in one
     VMEM-resident kernel per keypoint block.  Per anchor, <= voxel_sample
@@ -470,7 +478,7 @@ def spt_pooled_tpu(
     Wy = Wrows[:, 1, :].T
     Wz = Wrows[:, 2, :].T
 
-    Kt = 8                       # keypoint block (lane dim of the blocks)
+    Kt = k_tile                  # keypoint block (lane dim of the blocks)
     Kp = _round_up(K, Kt)
     Rt = (jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3))
           if R is None else jnp.swapaxes(R, 1, 2))
@@ -757,7 +765,7 @@ def banded_win_rows(S: int, band: int, n_segs: int = 128) -> tuple:
     return wr, LW >= NR
 
 
-def _topk_knockout_kernel(K_OUT, k1_ref, k2_ref, out_ref):
+def _topk_knockout_kernel(K_OUT, row_major, k1_ref, k2_ref, out_ref):
     """Exact top-K_OUT smallest of the 2*NSg packed candidates per row by
     K_OUT serial min+knockout steps over wide row tiles.
 
@@ -772,7 +780,12 @@ def _topk_knockout_kernel(K_OUT, k1_ref, k2_ref, out_ref):
     low 16 bits), so `== m` knocks out exactly one candidate and the
     emitted order is ascending distance with ascending-rank tie-break —
     the same order the sort produced.  Output is lane-padded to 128 (the
-    Pallas output-block constraint); lanes >= K_OUT stay BIG."""
+    Pallas output-block constraint); lanes >= K_OUT stay BIG.
+
+    ``row_major=True`` transposes the [128, QT] result to [QT, 128]
+    in-VMEM before the write, so the XLA-side consumer sees a clean
+    row-major [Q, k] — the transposed view otherwise forced a ~0.5 ms
+    s32 layout copy on every downstream index table (r5 trace)."""
     a = k1_ref[...]                              # [QT, NSg]
     b = k2_ref[...]
     QT = a.shape[0]
@@ -789,11 +802,15 @@ def _topk_knockout_kernel(K_OUT, k1_ref, k2_ref, out_ref):
         out = jnp.where(sub == j, m, out)
         at = jnp.where(at == m, BIG, at)
         bt = jnp.where(bt == m, BIG, bt)
-    out_ref[...] = out
+    if row_major:
+        out_ref[...] = jnp.transpose(out, (1, 0))
+    else:
+        out_ref[...] = out
 
 
 def topk_packed_tpu(k1: jnp.ndarray, k2: jnp.ndarray, k: int,
-                    row_tile: int = 512) -> jnp.ndarray:
+                    row_tile: int = 512, row_major: bool = True
+                    ) -> jnp.ndarray:
     """Top-k smallest packed keys per row from two [Q, NSg] candidate
     fields.  Returns [Q, k] ascending (same contract as the sort-based
     stage B; ties break toward the smaller packed index bits)."""
@@ -802,13 +819,22 @@ def topk_packed_tpu(k1: jnp.ndarray, k2: jnp.ndarray, k: int,
     if Qp != Q:
         k1 = jnp.pad(k1, ((0, Qp - Q), (0, 0)), constant_values=BIG)
         k2 = jnp.pad(k2, ((0, Qp - Q), (0, 0)), constant_values=BIG)
+    specs = [pl.BlockSpec((row_tile, NSg), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)] * 2
+    if row_major:
+        out = pl.pallas_call(
+            functools.partial(_topk_knockout_kernel, k, True),
+            grid=(Qp // row_tile,),
+            in_specs=specs,
+            out_specs=pl.BlockSpec((row_tile, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Qp, 128), jnp.float32),
+        )(k1, k2)
+        return out[:Q, :k]
     out = pl.pallas_call(
-        functools.partial(_topk_knockout_kernel, k),
+        functools.partial(_topk_knockout_kernel, k, False),
         grid=(Qp // row_tile,),
-        in_specs=[pl.BlockSpec((row_tile, NSg), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((row_tile, NSg), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=specs,
         out_specs=pl.BlockSpec((128, row_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((128, Qp), jnp.float32),
@@ -873,7 +899,12 @@ def banded_nn1_tpu(
     support: jnp.ndarray,        # [S, 3] Morton-ordered (same curve)
     support_valid: jnp.ndarray,  # [S] bool
     query_valid: jnp.ndarray,    # [Q] bool
-    q_tile: int = 8,
+    q_tile: int = 32,            # r5: 8 -> 32 measured 1.52 -> 0.21 ms at
+                                 # the l0->l1 upsample shape (window loads
+                                 # amortize over 4x more queries; window
+                                 # centering shifts by <= ~5 support ranks
+                                 # vs the +-1024 half-width — idx agreement
+                                 # validated on the bench cloud)
     win_rows: int = 16,          # one Morton-local nearest point needs far
                                  # less window than the 34-NN kernel
                                  # (16 x 128 = +-1024 coarse ranks)

@@ -285,3 +285,28 @@ def make_register_fn(model: BufferModel):
     def fn(variables, inputs: PairInputs, key):
         return register_pair(model, variables, inputs, key)
     return fn
+
+
+def make_unrolled_register_fn(model: BufferModel, unroll: int):
+    """U independent pairs per XLA program by STATIC UNROLL (one
+    ``register_pair`` trace per pair, python-level loop — NOT a vmap).
+
+    The U chains share no data, so XLA's latency-hiding scheduler
+    interleaves them: each pair's serial tails (the FPS selection chain,
+    knockout top-k steps, the IRLS scan, per-row gathers) execute under
+    the other pairs' matmuls.  Measured 39.6 -> 26.2 ms/pair at U=2 on
+    the full 3DMatch plan (one v5e chip) with behaviorally identical
+    per-pair results (same trace per pair; fusion-boundary rounding only) — a vmap over the pair axis instead re-layouts every op and
+    LOSES throughput (config.StaticConfig.pair_batch history).
+
+    Returns a jitted fn (variables, stacked PairInputs [U, ...],
+    keys [U]) -> RegistrationResult with a leading U axis."""
+    @partial(jax.jit, static_argnums=())
+    def fn(variables, binputs: PairInputs, keys):
+        results = []
+        for u in range(unroll):
+            one = jax.tree_util.tree_map(lambda x: x[u], binputs)
+            results.append(register_pair(model, variables, one, keys[u]))
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *results)
+    return fn
