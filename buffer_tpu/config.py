@@ -185,6 +185,16 @@ class StaticConfig:
     # inference descriptor front-end: gather-free fused SPT (True) vs the
     # reference-exact sampled SPT (False); training always uses sampled
     fused_desc: bool = True
+    # dynamic solver budget (r5, VERDICT r4 "Next #4"): when fewer than
+    # low_match_th mutual matches survive (hard low-overlap pairs), run
+    # RANSAC with 4x hypotheses and IRLS at 2x depth via lax.cond — only
+    # the taken branch executes, so ordinary pairs (mutual ~600-750 at
+    # 3DMatch scale) pay nothing.  The reference implicitly does this:
+    # Open3D RANSAC iterates to a confidence criterion and its IRLS
+    # breaks on convergence, so ITS work grows when inliers are scarce
+    # (models/BUFFER.py:318-324,396-398).
+    low_match_boost: bool = True
+    low_match_th: int = 400
     # pairs registered per jitted step (vmap over the pair axis).  A BENCH
     # EXPERIMENT KNOB ONLY: bench.py reads it to vmap its measurement loop;
     # make_register_fn and the eval harness always register one pair per

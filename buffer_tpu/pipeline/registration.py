@@ -249,16 +249,39 @@ def _register_pair(model: BufferModel, variables: Dict[str, dict],
         cfg.match.inlier_th)
 
     # 8. batched RANSAC over the winner's inlier correspondences
-    #    (models/BUFFER.py:314-324)
-    pose, ransac_inl = ransac.ransac_pose(
-        k_ransac, ss_kpts, tt_kpts, vote_inliers,
-        cfg.match.dist_th, cfg.match.similar_th, cfg.match.hypotheses)
+    #    (models/BUFFER.py:314-324).  DYNAMIC BUDGET: when the mutual
+    #    match set is starved (hard low-overlap pairs), spend a larger
+    #    hypothesis batch and full IRLS depth — the TPU analog of the
+    #    reference's adaptive behavior (Open3D RANSAC runs to a 0.999
+    #    confidence criterion and its IRLS breaks on convergence,
+    #    models/BUFFER.py:318-324,396-398, so the reference implicitly
+    #    spends MORE work exactly when inliers are scarce).  lax.cond
+    #    executes only the taken branch, so well-matched pairs (the vast
+    #    majority) pay nothing.
+    n_mutual = jnp.sum(m.mutual.astype(jnp.int32))
+    th = 1.2 if cfg.data.dataset == "KITTI" else 0.10
+    boost = cfg.static.low_match_boost
 
-    # 9. IRLS refinement (models/BUFFER.py:327-328, 3DMatch/ETH only)
-    if cfg.test.pose_refine:
-        th = 1.2 if cfg.data.dataset == "KITTI" else 0.10
-        pose = refine.post_refinement(pose, ss_kpts, tt_kpts, m.mutual, th,
-                                      iters=cfg.static.refine_iters)
+    def solve(hyp: int, iters: int):
+        def run():
+            pose, inl = ransac.ransac_pose(
+                k_ransac, ss_kpts, tt_kpts, vote_inliers,
+                cfg.match.dist_th, cfg.match.similar_th, hyp)
+            if cfg.test.pose_refine:
+                # 9. IRLS refinement (models/BUFFER.py:327-328)
+                return refine.post_refinement(
+                    pose, ss_kpts, tt_kpts, m.mutual, th, iters=iters), inl
+            return pose, inl
+        return run
+
+    base = solve(cfg.match.hypotheses, cfg.static.refine_iters)
+    if boost:
+        pose, ransac_inl = jax.lax.cond(
+            n_mutual < cfg.static.low_match_th,
+            solve(4 * cfg.match.hypotheses, 2 * cfg.static.refine_iters),
+            base)
+    else:
+        pose, ransac_inl = base()
 
     result = RegistrationResult(
         pose=pose,

@@ -60,8 +60,19 @@ def child(n: int, iters: int, warmup: int) -> None:
     binputs = jax.tree_util.tree_map(lambda x: jnp.stack([x] * n), one)
     keys = jax.random.split(jax.random.PRNGKey(1), n)
 
-    mesh = Mesh(np.array(jax.devices()[:n]), ("dp",))
-    fn = make_dp_register(model, mesh)
+    if os.environ.get("DP_ATTRIB") == "1":
+        # attribution mode (VERDICT r4 "Next #6"): same n-pair batch on ONE
+        # device via vmap — no mesh, no collectives, no sharding.  If this
+        # curve has the same knee, the mesh curve's n=8 falloff is the
+        # single host core saturating (all 8 virtual devices share one
+        # physical core, nproc=1), not a sharding artifact.
+        import jax as _jax
+        from buffer_tpu.pipeline.registration import register_pair
+        fn = _jax.jit(lambda v, b, k: _jax.vmap(
+            lambda bi, ki: register_pair(model, v, bi, ki))(b, k))
+    else:
+        mesh = Mesh(np.array(jax.devices()[:n]), ("dp",))
+        fn = make_dp_register(model, mesh)
     for _ in range(warmup):
         fn(variables, binputs, keys).pose.block_until_ready()
     t0 = time.perf_counter()
@@ -86,28 +97,48 @@ def main() -> None:
     env = dict(os.environ,
                JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
-    points = []
-    for n in (1, 2, 4, 8):
-        out = subprocess.run(
-            [sys.executable, __file__, "--n", str(n),
-             "--iters", str(args.iters), "--warmup", str(args.warmup)],
-            env=env, capture_output=True, text=True, timeout=1200)
-        if out.returncode != 0:
-            sys.stderr.write(out.stderr[-2000:])
-            raise SystemExit(f"child n={n} failed")
-        rec = json.loads(out.stdout.strip().splitlines()[-1])
-        points.append(rec)
-        print(f"n={rec['n']}: {rec['pairs_per_s']:.3f} pairs/s", flush=True)
 
-    base = points[0]["pairs_per_s"]
-    for rec in points:
-        rec["speedup"] = rec["pairs_per_s"] / base
-        rec["efficiency"] = rec["speedup"] / rec["n"]
+    def sweep(attrib):
+        pts = []
+        e = dict(env, DP_ATTRIB="1") if attrib else env
+        for n in (1, 2, 4, 8):
+            out = subprocess.run(
+                [sys.executable, __file__, "--n", str(n),
+                 "--iters", str(args.iters), "--warmup", str(args.warmup)],
+                env=e, capture_output=True, text=True, timeout=1200)
+            if out.returncode != 0:
+                sys.stderr.write(out.stderr[-2000:])
+                raise SystemExit(f"child n={n} failed")
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            pts.append(rec)
+            print(f"{'attrib ' if attrib else ''}n={rec['n']}: "
+                  f"{rec['pairs_per_s']:.3f} pairs/s", flush=True)
+        return pts
+
+    points = sweep(False)
+    attrib_points = sweep(True)
+
+    for pts in (points, attrib_points):
+        base = pts[0]["pairs_per_s"]
+        for rec in pts:
+            rec["speedup"] = rec["pairs_per_s"] / base
+            rec["efficiency"] = rec["speedup"] / rec["n"]
     result = {
         "metric": "dp_eval_scaling_cpu_mesh",
         "note": ("virtual 8-device CPU mesh; shape only — absolute CPU "
                  "pairs/s is not a TPU number"),
         "points": points,
+        "attribution": {
+            "note": ("same n-pair batch on ONE device via vmap (no mesh, "
+                     "no sharding): if this single-core batching curve "
+                     "shows the same n=8 knee, the mesh knee is the single "
+                     "physical host core (nproc=1) saturating once "
+                     "per-step dispatch overhead is amortized — expected "
+                     "to disappear on real chips where each dp shard owns "
+                     "its own TensorCore and ICI handles the gather"),
+            "nproc": os.cpu_count(),
+            "points": attrib_points,
+        },
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

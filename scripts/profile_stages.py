@@ -48,6 +48,11 @@ def scan_time(make_body, n_lo=2, n_hi=12):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="3DMatch",
+                    choices=["3DMatch", "KITTI"])
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
     from buffer_tpu.config import make_cfg
@@ -60,12 +65,19 @@ def main():
     from buffer_tpu.ops.sampling import farthest_point_sample
     from bench import synthetic_pair
 
-    cfg = make_cfg("3DMatch")
+    cfg = make_cfg(args.config)
     model = BufferModel(cfg)
-    SNAP = "/root/reference/ThreeDMatch/snapshot/06132318"
+    SNAPS = {"3DMatch": "/root/reference/ThreeDMatch/snapshot/06132318",
+             "KITTI": "/root/reference/KITTI/snapshot/06050001"}
+    SNAP = SNAPS[args.config]
     variables = load_variables(
         {s: f"{SNAP}/{s}/best.pth" for s in ("Ref", "Desc", "Keypt", "Inlier")})
-    inputs, T_gt = synthetic_pair(cfg)
+    if args.config == "KITTI":
+        import numpy as np
+        from buffer_tpu.data.synthetic import make_lidar_pair
+        inputs, T_gt = make_lidar_pair(cfg, np.random.RandomState(13))
+    else:
+        inputs, T_gt = synthetic_pair(cfg)
     K = cfg.point.num_keypts
     P = "highest"
 
@@ -175,8 +187,9 @@ def main():
             pose, inl = ransac.ransac_pose(
                 jax.random.fold_in(k, i), ss, tt, vote_inliers,
                 cfg.match.dist_th, cfg.match.similar_th, cfg.match.hypotheses)
-            pose = refine.post_refinement(pose, ss, tt, m.mutual, 0.10,
-                                          iters=cfg.static.refine_iters)
+            if cfg.test.pose_refine:
+                pose = refine.post_refinement(pose, ss, tt, m.mutual, 0.10,
+                                              iters=cfg.static.refine_iters)
             return pose
 
         ms = scan_time(ransac_stage)

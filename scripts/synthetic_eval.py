@@ -40,7 +40,7 @@ SNAPS = {
 
 
 def run_bucket(fn, variables, cfg, pair_gen, n_pairs, seed, rte_th, rre_th,
-               label, gt_check=None):
+               label, gt_check=None, per_pair=None):
     import jax
     from buffer_tpu.eval.metrics import rte_rre
     from buffer_tpu.data.synthetic import icp_check_gt
@@ -73,6 +73,11 @@ def run_bucket(fn, variables, cfg, pair_gen, n_pairs, seed, rte_th, rre_th,
                            np.asarray(T, np.float64))
         ok = rte < rte_th and rre < rre_th
         states.append(ok)
+        if per_pair is not None:
+            per_pair.append({"bucket": label, "pair": i, "desc": desc,
+                             "ok": bool(ok), "rte": round(rte, 4),
+                             "rre": round(rre, 3),
+                             "mutual": int(res.num_mutual)})
         print(f"[{label}] pair {i:3d} {desc} mutual={int(res.num_mutual):4d} "
               f"RTE={rte:.4f} RRE={rre:.3f} {'OK' if ok else 'FAIL'}",
               flush=True)
@@ -128,6 +133,11 @@ def main():
                          "loss from model-OOD loss on the hard buckets")
     ap.add_argument("--buckets", default="all", choices=["all", "low", "high"],
                     help="3DMatch: which overlap buckets to run")
+    ap.add_argument("--per-pair-json", default=None,
+                    help="write one JSON line per pair (scene params are "
+                         "seed-deterministic, so two runs with the same "
+                         "seeds/pair counts are PAIRED samples — the "
+                         "shipped-vs-exact decomposition reads these)")
     args = ap.parse_args()
 
     if args.exact:
@@ -201,6 +211,7 @@ def main():
         # residual jumps to >=56 mm on every scene — hence the loose
         # per-pair gate + tight 40 mm bucket-median gate.
         gt_check = None if args.no_check_gt else (0.10, 0.05, 1.0, 0.040)
+        per_pair = [] if args.per_pair_json else None
         r_hi = r_lo = None
         n_hi = n_lo = 0
         if args.buckets in ("all", "high"):
@@ -208,14 +219,14 @@ def main():
             # the round-2 gate (0.98 recall over 50 pairs)
             r_hi, n_hi = run_bucket(fn, variables, cfg, gen_high, args.pairs,
                                     7, 0.3, 15.0, "overlap_045_095",
-                                    gt_check=gt_check)
+                                    gt_check=gt_check, per_pair=per_pair)
             buckets["overlap_045_095"] = {"recall": round(r_hi, 4),
                                           "pairs": n_hi}
         if args.buckets in ("all", "low"):
             n_low = args.low_pairs if args.low_pairs is not None else args.pairs
             r_lo, n_lo = run_bucket(fn, variables, cfg, gen_low, n_low, 11,
                                     0.3, 15.0, "overlap_025_045",
-                                    gt_check=gt_check)
+                                    gt_check=gt_check, per_pair=per_pair)
             buckets["overlap_025_045"] = {"recall": round(r_lo, 4),
                                           "pairs": n_lo}
         primary, low = (r_hi if r_hi is not None else r_lo), r_lo
@@ -232,15 +243,22 @@ def main():
         # band (good median residual ~165-170 mm; >=270 mm at 2x
         # translation); the guarded bug class is metres-scale
         gt_check = None if args.no_check_gt else (1.0, 0.30, 1.0, 0.220)
+        per_pair = [] if args.per_pair_json else None
         primary, n_primary = run_bucket(fn, variables, cfg, gen_kitti,
                                         args.pairs, 13, 0.3, 1.0, "kitti",
-                                        gt_check=gt_check)
+                                        gt_check=gt_check,
+                                        per_pair=per_pair)
         buckets = {"kitti": {"recall": round(primary, 4), "pairs": n_primary}}
         low = None
         unit = "recall@0.3m/1deg"
 
     print(f"\nsynthetic recall ({args.config}): {primary:.3f} "
           f"over {n_primary} pairs")
+    if args.per_pair_json and per_pair:
+        import json as _json
+        with open(args.per_pair_json, "w") as f:
+            for rec_pp in per_pair:
+                f.write(_json.dumps(rec_pp) + "\n")
     if args.json:
         import json
         # One JSON LINE per config run; the repo-level QUALITY.json is the
