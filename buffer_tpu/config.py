@@ -156,8 +156,13 @@ class StaticConfig:
     # shadow-counting mean denominator (~its calibrated width) far better
     # than 34 did — bench mutual matches went UP 589 -> 690 and sanity
     # RTE/RRE improved when this landed (BENCH history r3).
-    neighbor_caps: Tuple[int, int, int] = (20, 20, 20)
-    pool_caps: Tuple[int, int] = (20, 20)
+    # r5: 20 -> 16 = the reference's own calibration percentile (p80).
+    # Bench 40.5 -> 34.7 ms/pair (every per-neighbor cost: gathers,
+    # relayouts, conv matmuls, -20%); sanity RTE 3.2 -> 5.9 mm and mutual
+    # 742 -> 730 (within the gate noise band); the full 100/50/50 quality
+    # gates were re-run green at this state (QUALITY.json).
+    neighbor_caps: Tuple[int, int, int] = (16, 16, 16)
+    pool_caps: Tuple[int, int] = (16, 16)
     # matches kept after mutual matching (pad/truncate)
     max_matches: int = 1500
     # IRLS refinement rounds (reference: 20, models/BUFFER.py:396-398)
@@ -166,10 +171,10 @@ class StaticConfig:
     # fixed rounds is still well past convergence and halves the
     # (latency-bound) [1500]-scale scan on device
     refine_iters: int = 10
-    # kNN used for PCA normal estimation (Open3D's default is 30; 20 keeps
-    # the shared level-0 kNN pass at the conv cap width — sanity RTE/RRE
-    # and the quality gate held when this landed)
-    normal_knn: int = 20
+    # kNN used for PCA normal estimation (Open3D's default is 30; kept at
+    # the conv cap width so the shared level-0 kNN pass serves both —
+    # sanity RTE/RRE and the quality gates held at 16, r5)
+    normal_knn: int = 16
     # chunk size for tiled distance computations on device
     knn_chunk: int = 4096
     # half-width of the rank window for banded neighbor search on

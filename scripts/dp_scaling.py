@@ -96,6 +96,8 @@ def main() -> None:
 
     env = dict(os.environ,
                JAX_PLATFORMS="cpu",
+               PALLAS_AXON_POOL_IPS="",   # sitecustomize would otherwise
+                                          # pin the axon TPU platform
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
 
     def sweep(attrib):
