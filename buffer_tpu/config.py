@@ -401,10 +401,14 @@ def tiny_cfg() -> Config:
     c = threedmatch_cfg()
     return c.replace(
         point=replace(c.point, num_keypts=64),
+        # low_match_boost off: tiny clouds sit below low_match_th by
+        # construction, and compile-check harnesses (dryrun_multichip on a
+        # 1-core virtual mesh) should not pay the second cond branch
         static=StaticConfig(points_l0=512, points_l1=256, points_l2=128,
                             raw_points=1024, neighbor_caps=(16, 16, 16),
                             pool_caps=(16, 16), max_matches=64,
-                            normal_knn=8, knn_chunk=256),
+                            normal_knn=8, knn_chunk=256,
+                            low_match_boost=False),
         match=replace(c.match, hypotheses=128),
         train=replace(c.train, pos_num=32),
     )
